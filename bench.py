@@ -1,0 +1,88 @@
+"""North-star benchmark: ImageNet train images/sec/chip for CSPDarknet-53.
+
+Runs the full production train step (device-side CutMix⊕MixUp + RandomErasing
+upstream is host-side; here: bf16 forward/backward, label-smoothed CE,
+SGD+momentum, BN stat updates) on synthetic data at the reference recipe's
+train resolution (RandomResizedCrop 176, README.md:90) on one TPU chip.
+
+The reference publishes no throughput numbers (BASELINE.md: "published: {}"),
+so ``vs_baseline`` is reported as 1.0 against this repo's own first recorded
+value.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+def main():
+    from vision_toolbox_tpu import create_backbone
+    from vision_toolbox_tpu.train import (
+        ImageClassifier,
+        TrainState,
+        make_train_step,
+        sgd_with_param_groups,
+        warmup_cosine_schedule,
+    )
+
+    batch = 256
+    img = 176
+    num_classes = 1000
+
+    model = ImageClassifier(
+        backbone=create_backbone("cspdarknet53", dtype=jnp.bfloat16),
+        num_classes=num_classes,
+        dtype=jnp.bfloat16,
+    )
+    variables = model.init({"params": jax.random.PRNGKey(0)}, jnp.zeros((1, img, img, 3)), train=False)
+    steps_per_epoch = 1_281_167 // (batch or 1)
+    schedule = warmup_cosine_schedule(0.5 * batch / 1024, 100, steps_per_epoch)
+    tx = sgd_with_param_groups(variables["params"], schedule, momentum=0.9, weight_decay=2e-5)
+    state = TrainState.create(model.apply, variables, tx)
+
+    step = jax.jit(
+        make_train_step(num_classes, compute_dtype=jnp.bfloat16),
+        donate_argnums=(0,),
+    )
+
+    images = jax.random.uniform(jax.random.PRNGKey(1), (batch, img, img, 3), jnp.bfloat16)
+    labels = jax.random.randint(jax.random.PRNGKey(2), (batch,), 0, num_classes)
+    rng = jax.random.PRNGKey(3)
+
+    # warmup / compile. NOTE: a host readback (float()) is the completion
+    # fence — on the tunneled TPU in this environment block_until_ready
+    # returns before execution finishes, so timing must end with a readback.
+    for _ in range(3):
+        state, metrics = step(state, images, labels, rng)
+    float(metrics["loss"])
+
+    n_steps = 20
+    t0 = time.perf_counter()
+    for _ in range(n_steps):
+        state, metrics = step(state, images, labels, rng)
+    # the final loss depends on the whole chain of donated states; one
+    # readback forces all n_steps while amortizing the tunnel roundtrip.
+    float(metrics["loss"])
+    dt = time.perf_counter() - t0
+
+    images_per_sec = batch * n_steps / dt
+    print(
+        json.dumps(
+            {
+                "metric": "ImageNet train images/sec/chip (CSPDarknet-53, bf16, 176px, bs256)",
+                "value": round(images_per_sec, 1),
+                "unit": "images/sec/chip",
+                "vs_baseline": 1.0,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
