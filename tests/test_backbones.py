@@ -13,22 +13,24 @@ import pytest
 
 from vision_toolbox_tpu import create_backbone
 
-# name -> test image size (small but >= stride)
+# name -> test image size (small but >= stride), extra kwargs
 BACKBONES = [
-    ("darknet19", 64),
-    ("cspdarknet53", 64),
-    ("darknet_yolov5n", 64),
-    ("darknet_yolov5l", 64),
-    ("vovnet27_slim", 64),
-    ("vovnet39", 64),
-    ("vovnet19_slim_ese", 64),
+    ("darknet19", 64, {}),
+    ("cspdarknet53", 64, {}),
+    ("darknet_yolov5n", 64, {}),
+    ("darknet_yolov5l", 64, {}),
+    ("vovnet27_slim", 64, {}),
+    ("vovnet39", 64, {}),
+    ("vovnet19_slim_ese", 64, {}),
+    ("swin_t", 64, {"img_size": 64, "window_sizes": (2, 2, 2, 2)}),
+    ("convnext_a", 64, {}),
 ]
 
 
 @pytest.fixture(scope="module", params=BACKBONES, ids=lambda p: p[0])
 def built(request):
-    name, size = request.param
-    model = create_backbone(name)
+    name, size, kwargs = request.param
+    model = create_backbone(name, **kwargs)
     variables = model.init_variables(0, size)
     return name, size, model, variables
 
@@ -45,8 +47,14 @@ class TestBackbones:
         _, size, model, variables = built
         x = jnp.zeros((1, size, size, 3))
         out = model.apply(variables, x)
-        assert out.ndim == 4
-        assert out.shape[1] == size // model.stride
+        # conv backbones return the last 4D map; swin/convnext return the
+        # pooled+normed embedding (matching reference swin.py:183-184,
+        # convnext.py:109-110)
+        if out.ndim == 4:
+            assert out.shape[1] == size // model.stride
+        else:
+            assert out.ndim == 2
+            assert out.shape[-1] == model.out_channels_list[-1]
 
     def test_get_feature_maps(self, built):
         _, size, model, variables = built
@@ -61,7 +69,26 @@ class TestBackbones:
         _, size, model, variables = built
         x = jnp.zeros((1, size, size, 3))
         out = jax.jit(lambda v, x: model.apply(v, x))(variables, x)
-        assert out.shape[1] == size // model.stride
+        assert out.shape[0] == 1
+
+
+TOKEN_MODELS = [
+    ("vit_s_16", 32, 384),
+    ("deit_s_16", 32, 384),
+    ("deit3_s_16", 32, 384),
+    ("cait_xxs_24", 32, 192),
+    ("mixer_s_16", 32, 512),
+    ("patchconvnet_s", 32, 384),
+]
+
+
+@pytest.mark.parametrize("name,size,d_model", TOKEN_MODELS, ids=[t[0] for t in TOKEN_MODELS])
+def test_token_model_forward_and_jit(name, size, d_model):
+    kwargs = {"img_size": size} if not name.startswith("patchconvnet") else {"depth": 2}
+    model = create_backbone(name, **kwargs)
+    variables = model.init({"params": jax.random.PRNGKey(0)}, jnp.zeros((1, size, size, 3)), train=False)
+    out = jax.jit(lambda v, x: model.apply(v, x))(variables, jnp.zeros((2, size, size, 3)))
+    assert out.shape == (2, d_model)
 
 
 def test_registry_unknown():

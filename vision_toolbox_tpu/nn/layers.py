@@ -326,7 +326,8 @@ class DeformableConv2d(nn.Module):
 
 
 class Linear(nn.Module):
-    """nn.Linear with torch default init."""
+    """nn.Linear with torch default init. Owns its params directly (no nested
+    Dense scope) so checkpoint paths stay flat: <name>/{kernel,bias}."""
 
     features: int
     use_bias: bool = True
@@ -334,11 +335,17 @@ class Linear(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
+        from flax.linen import dtypes
+
         fan_in = x.shape[-1]
-        return nn.Dense(
-            self.features,
-            use_bias=self.use_bias,
-            kernel_init=torch_default_kernel,
-            bias_init=torch_default_bias(fan_in),
-            dtype=self.dtype,
-        )(x)
+        kernel = self.param("kernel", torch_default_kernel, (fan_in, self.features))
+        bias = (
+            self.param("bias", torch_default_bias(fan_in), (self.features,))
+            if self.use_bias
+            else None
+        )
+        x, kernel, bias = dtypes.promote_dtype(x, kernel, bias, dtype=self.dtype)
+        y = x @ kernel
+        if bias is not None:
+            y = y + bias
+        return y
