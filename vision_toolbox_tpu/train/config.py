@@ -1,0 +1,141 @@
+"""Config system: dataclasses + YAML composition.
+
+Mirrors the reference's LightningCLI contract (SURVEY.md §5.6): every field is
+a flag, later ``--config`` files override earlier ones, dotted CLI overrides
+(``--train.lr 0.1``) beat files, and the final merged config is archived next
+to the checkpoints as ``saved_config.yaml`` (train.py:11-12 equivalent).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from dataclasses import dataclass, field
+from typing import Any
+
+
+@dataclass
+class ModelConfig:
+    backbone: str = "vovnet57"
+    num_classes: int = 1000
+    backbone_kwargs: dict = field(default_factory=dict)
+    bf16: bool = True  # reference trains fp16 AMP (configs/base.yaml:20); TPU uses bf16
+
+
+@dataclass
+class DataConfig:
+    train_dir: str | None = None
+    val_dir: str | None = None
+    batch_size: int = 128  # global batch
+    num_workers: int = 8
+    train_crop_size: int = 176
+    val_resize_size: int = 232
+    val_crop_size: int = 224
+    webdataset: bool = False
+    train_size: int = 0
+    val_size: int = 0
+    random_erasing_p: float = 0.1
+    trivial_augment: bool = True
+    synthetic: bool = False  # random data for smoke runs/benchmarks
+
+
+@dataclass
+class TrainConfig:
+    epochs: int = 100
+    lr: float = 0.05
+    momentum: float = 0.9
+    weight_decay: float = 2e-5
+    norm_weight_decay: float = 0.0
+    bias_weight_decay: float = 0.0
+    label_smoothing: float = 0.1
+    mixup_alpha: float = 0.2
+    cutmix_alpha: float = 1.0
+    warmup_epochs: int = 5
+    warmup_factor: float = 0.01
+    decay_factor: float = 0.0
+    seed: int = 0
+
+
+@dataclass
+class RuntimeConfig:
+    out_dir: str = "runs/default"
+    log_every: int = 50
+    checkpoint_every_epochs: int = 1
+    resume: str | None = None
+    mesh_axes: tuple[str, ...] = ("data",)
+
+
+@dataclass
+class Config:
+    model: ModelConfig = field(default_factory=ModelConfig)
+    data: DataConfig = field(default_factory=DataConfig)
+    train: TrainConfig = field(default_factory=TrainConfig)
+    runtime: RuntimeConfig = field(default_factory=RuntimeConfig)
+
+
+def _merge(dst: dict, src: dict) -> dict:
+    for k, v in src.items():
+        if isinstance(v, dict) and isinstance(dst.get(k), dict):
+            _merge(dst[k], v)
+        else:
+            dst[k] = v
+    return dst
+
+
+def _to_dict(cfg: Any) -> dict:
+    if dataclasses.is_dataclass(cfg):
+        return {f.name: _to_dict(getattr(cfg, f.name)) for f in dataclasses.fields(cfg)}
+    if isinstance(cfg, tuple):
+        return list(cfg)
+    return cfg
+
+
+def _from_dict(cls, d: dict):
+    import typing
+
+    hints = typing.get_type_hints(cls)  # resolves string annotations
+    kwargs = {}
+    for f in dataclasses.fields(cls):
+        if f.name not in d:
+            continue
+        v = d[f.name]
+        ftype = hints.get(f.name, f.type)
+        if dataclasses.is_dataclass(ftype) and isinstance(v, dict):
+            v = _from_dict(ftype, v)
+        elif f.name == "mesh_axes" and isinstance(v, list):
+            v = tuple(v)
+        kwargs[f.name] = v
+    return cls(**kwargs)
+
+
+def load_config(config_paths: list[str], overrides: list[str] | None = None) -> Config:
+    """Compose YAML files (later overrides earlier) + dotted CLI overrides."""
+    import yaml
+
+    merged: dict = _to_dict(Config())
+    for path in config_paths:
+        with open(path) as fobj:
+            _merge(merged, yaml.safe_load(fobj) or {})
+    for ov in overrides or []:
+        key, _, raw = ov.partition("=")
+        try:
+            value = json.loads(raw)
+        except json.JSONDecodeError:
+            value = raw
+        node = merged
+        parts = key.lstrip("-").split(".")
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = value
+    return _from_dict(Config, merged)
+
+
+def save_config(cfg: Config, out_dir: str) -> str:
+    import yaml
+
+    os.makedirs(out_dir, exist_ok=True)
+    path = os.path.join(out_dir, "saved_config.yaml")
+    with open(path, "w") as fobj:
+        yaml.safe_dump(_to_dict(cfg), fobj, sort_keys=False)
+    return path

@@ -56,13 +56,26 @@ def make_train_step(
     label_smoothing: float = 0.1,
     mixup_alpha: float = 0.2,
     cutmix_alpha: float = 1.0,
+    trivial_augment: bool = False,
+    random_erasing_p: float = 0.0,
     compute_dtype: Any = jnp.float32,
 ):
-    """Build the jittable train step. Augmentation runs on device inside jit."""
+    """Build the jittable train step. ALL batch augmentation (TrivialAugment →
+    RandomErasing → CutMix⊕MixUp, in the reference's pipeline order
+    data.py:44-52 + classifier.py:86-87) runs on device inside jit."""
 
     def train_step(state: TrainState, images, labels, rng):
         rng = jax.random.fold_in(rng, state.step)
-        rng_mix, rng_drop = jax.random.split(rng)
+        rng_ta, rng_re, rng_mix, rng_drop = jax.random.split(rng, 4)
+
+        if trivial_augment:
+            from ..ops.trivial_augment import trivial_augment_wide
+
+            images = trivial_augment_wide(rng_ta, images.astype(jnp.float32))
+        if random_erasing_p > 0:
+            from ..ops.augment import random_erasing
+
+            images = random_erasing(rng_re, images.astype(jnp.float32), random_erasing_p)
 
         images = images.astype(compute_dtype)
         targets = one_hot_labels(labels, num_classes)

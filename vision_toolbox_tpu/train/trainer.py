@@ -1,0 +1,209 @@
+"""Trainer: the full fit loop replacing Lightning's Trainer + callbacks
+(SURVEY.md §2.2). One object wires model, data, sharded steps, metrics
+logging (JSONL + stdout), per-epoch orbax checkpoints with best-val/acc
+tracking, and resume.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Iterator
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.base import create_backbone
+from ..parallel.mesh import batch_sharding, create_mesh, shard_batch
+from .classifier import ImageClassifier
+from .config import Config, save_config
+from .optim import sgd_with_param_groups, warmup_cosine_schedule
+from .step import TrainState, make_eval_step, make_train_step, shard_train_step
+
+
+class SyntheticData:
+    """Random-data stand-in for smoke runs and benches (data.synthetic=true)."""
+
+    def __init__(self, batch_size: int, crop: int, num_classes: int, steps: int):
+        self.batch_size, self.crop, self.num_classes, self.steps = batch_size, crop, num_classes, steps
+        rng = np.random.default_rng(0)
+        self._images = rng.random((batch_size, crop, crop, 3), np.float32)
+        self._labels = rng.integers(0, num_classes, batch_size).astype(np.int32)
+
+    def __len__(self):
+        return self.steps
+
+    def __iter__(self) -> Iterator:
+        for _ in range(self.steps):
+            yield self._images, self._labels
+
+
+class Trainer:
+    def __init__(self, cfg: Config):
+        self.cfg = cfg
+        self.mesh = create_mesh(cfg.runtime.mesh_axes)
+        compute_dtype = jnp.bfloat16 if cfg.model.bf16 else jnp.float32
+        self.model = ImageClassifier(
+            backbone=create_backbone(
+                cfg.model.backbone, dtype=compute_dtype, **cfg.model.backbone_kwargs
+            ),
+            num_classes=cfg.model.num_classes,
+            dtype=compute_dtype,
+        )
+
+        self.train_loader, self.val_loader, self.steps_per_epoch = self._build_data()
+
+        rng = jax.random.PRNGKey(cfg.train.seed)
+        img = cfg.data.train_crop_size
+        variables = self.model.init(
+            {"params": rng}, jnp.zeros((1, img, img, 3)), train=False
+        )
+        # linear LR scaling: lr @ batch 1024 (README.md:85)
+        schedule = warmup_cosine_schedule(
+            cfg.train.lr,
+            cfg.train.epochs,
+            self.steps_per_epoch,
+            cfg.train.warmup_epochs,
+            cfg.train.warmup_factor,
+            cfg.train.decay_factor,
+        )
+        self.schedule = schedule
+        tx = sgd_with_param_groups(
+            variables["params"], schedule,
+            momentum=cfg.train.momentum,
+            weight_decay=cfg.train.weight_decay,
+            norm_weight_decay=cfg.train.norm_weight_decay,
+            bias_weight_decay=cfg.train.bias_weight_decay,
+        )
+        self.state = TrainState.create(self.model.apply, variables, tx)
+
+        self.train_step = shard_train_step(
+            make_train_step(
+                cfg.model.num_classes,
+                label_smoothing=cfg.train.label_smoothing,
+                mixup_alpha=cfg.train.mixup_alpha,
+                cutmix_alpha=cfg.train.cutmix_alpha,
+                trivial_augment=cfg.data.trivial_augment,
+                random_erasing_p=cfg.data.random_erasing_p,
+                compute_dtype=compute_dtype,
+            ),
+            self.mesh,
+        )
+        self.eval_step = jax.jit(
+            make_eval_step(compute_dtype),
+            in_shardings=(None, batch_sharding(self.mesh), batch_sharding(self.mesh)),
+        )
+
+        os.makedirs(cfg.runtime.out_dir, exist_ok=True)
+        save_config(cfg, cfg.runtime.out_dir)
+        self._log_file = open(os.path.join(cfg.runtime.out_dir, "metrics.jsonl"), "a")
+        self.best_acc = -1.0
+
+        if cfg.runtime.resume:
+            from ..utils.checkpoint import restore_train_state
+
+            self.state = restore_train_state(cfg.runtime.resume, self.state)
+            print(f"resumed from {cfg.runtime.resume} at step {int(self.state.step)}")
+
+    # ------------------------------------------------------------------
+    def _build_data(self):
+        cfg = self.cfg
+        if cfg.data.synthetic or cfg.data.train_dir is None:
+            steps = max(1, cfg.data.train_size // max(cfg.data.batch_size, 1)) if cfg.data.train_size else 10
+            train = SyntheticData(cfg.data.batch_size, cfg.data.train_crop_size, cfg.model.num_classes, steps)
+            val = SyntheticData(cfg.data.batch_size, cfg.data.val_crop_size, cfg.model.num_classes, 2)
+            return train, val, len(train)
+
+        from ..data import DataLoader, ImageFolder, train_transform, val_transform
+
+        train_ds = ImageFolder(cfg.data.train_dir)
+        val_ds = ImageFolder(cfg.data.val_dir) if cfg.data.val_dir else None
+        train = DataLoader(
+            train_ds, cfg.data.batch_size,
+            transform=lambda r, im: train_transform(r, im, cfg.data.train_crop_size),
+            shuffle=True, drop_last=True, num_workers=cfg.data.num_workers,
+            seed=cfg.train.seed,
+        )
+        val = (
+            DataLoader(
+                val_ds, cfg.data.batch_size,
+                transform=lambda r, im: val_transform(
+                    im, cfg.data.val_resize_size, cfg.data.val_crop_size
+                ),
+                num_workers=cfg.data.num_workers,
+            )
+            if val_ds
+            else None
+        )
+        return train, val, len(train)
+
+    # ------------------------------------------------------------------
+    def _log(self, record: dict):
+        record = {k: (float(v) if hasattr(v, "item") else v) for k, v in record.items()}
+        self._log_file.write(json.dumps(record) + "\n")
+        self._log_file.flush()
+        print("  ".join(f"{k}={v:.4f}" if isinstance(v, float) else f"{k}={v}" for k, v in record.items()))
+
+    def fit(self):
+        cfg = self.cfg
+        rng = jax.random.PRNGKey(cfg.train.seed + 1)
+        from ..data.loader import prefetch_to_device
+
+        for epoch in range(cfg.train.epochs):
+            t0 = time.time()
+            n_images = 0
+            for images, labels in prefetch_to_device(iter(self.train_loader), self.mesh):
+                self.state, metrics = self.train_step(self.state, images, labels, rng)
+                n_images += images.shape[0]
+                step = int(self.state.step)
+                if step % cfg.runtime.log_every == 0:
+                    self._log(
+                        {
+                            "epoch": epoch,
+                            "step": step,
+                            "train/loss": metrics["loss"],
+                            "lr": float(self.schedule(step)),
+                        }
+                    )
+            dt = time.time() - t0
+            record = {"epoch": epoch, "epoch_time_s": dt, "train_ips": n_images / dt}
+
+            if self.val_loader is not None:
+                record.update(self.evaluate())
+            self._log(record)
+
+            if (epoch + 1) % cfg.runtime.checkpoint_every_epochs == 0:
+                self.save(epoch, record.get("val/acc"))
+        return self.state
+
+    def evaluate(self) -> dict:
+        total, loss_sum, acc_sum = 0.0, 0.0, 0.0
+        for images, labels in self.val_loader:
+            images, labels = shard_batch((images, labels), self.mesh)
+            m = self.eval_step(self.state, images, labels)
+            count = float(m["count"])
+            total += count
+            loss_sum += float(m["loss"]) * count
+            acc_sum += float(m["acc"]) * count
+        if total == 0:
+            return {}
+        return {"val/loss": loss_sum / total, "val/acc": acc_sum / total}
+
+    def save(self, epoch: int, val_acc: float | None = None):
+        from ..utils.checkpoint import save_train_state
+
+        path = save_train_state(
+            os.path.join(self.cfg.runtime.out_dir, "checkpoints"), self.state, step=int(self.state.step)
+        )
+        # ModelCheckpoint(monitor=val/acc, mode=max) equivalent (configs/base.yaml:33-36)
+        if val_acc is not None and val_acc > self.best_acc:
+            self.best_acc = val_acc
+            best = os.path.join(self.cfg.runtime.out_dir, "best")
+            import shutil
+
+            if os.path.isdir(best):
+                shutil.rmtree(best)
+            shutil.copytree(path, best)
+        return path

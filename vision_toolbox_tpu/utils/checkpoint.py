@@ -1,0 +1,112 @@
+"""Checkpoint save/restore + backbone extraction.
+
+Replaces the reference's three formats (SURVEY.md §5.4):
+  (a) Lightning .ckpt → orbax checkpoints of the full TrainState
+  (b) backbone-only .pth with sha-suffix naming (extras.py:112-128) →
+      ``extract_backbone`` + ``save_params_npz`` (sha256-named .npz)
+  (c) upstream flax .npz / torch .pth → utils.flax_ckpt / utils.torch_pth
+"""
+
+from __future__ import annotations
+
+import hashlib
+import io
+import os
+from typing import Any
+
+import jax
+import numpy as np
+
+
+def save_train_state(ckpt_dir: str, state: Any, step: int | None = None) -> str:
+    """Orbax save of {params, batch_stats, opt_state, step}."""
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(ckpt_dir)
+    if step is not None:
+        path = os.path.join(path, f"step_{step}")
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(
+            path,
+            {
+                "step": state.step,
+                "params": state.params,
+                "batch_stats": state.batch_stats,
+                "opt_state": state.opt_state,
+            },
+            force=True,
+        )
+    return path
+
+
+def restore_train_state(ckpt_path: str, state: Any) -> Any:
+    """Restore into an abstract TrainState built the same way as at save time."""
+    import orbax.checkpoint as ocp
+
+    template = {
+        "step": state.step,
+        "params": state.params,
+        "batch_stats": state.batch_stats,
+        "opt_state": state.opt_state,
+    }
+    with ocp.StandardCheckpointer() as ckptr:
+        restored = ckptr.restore(os.path.abspath(ckpt_path), template)
+    return state.replace(
+        step=restored["step"],
+        params=restored["params"],
+        batch_stats=restored["batch_stats"],
+        opt_state=restored["opt_state"],
+    )
+
+
+def extract_backbone(variables: dict, backbone_name: str = "backbone") -> dict:
+    """Strip the classifier head: keep only the backbone subtree of a
+    classifier's variables (the reference strips the 'model.0.' prefix,
+    extras.py:117-119)."""
+    out = {}
+    for col, tree in variables.items():
+        if backbone_name in tree:
+            out[col] = tree[backbone_name]
+    return out
+
+
+def flatten_tree(tree: dict, prefix: str = "") -> dict[str, np.ndarray]:
+    flat = {}
+    for k, v in tree.items():
+        key = f"{prefix}/{k}" if prefix else str(k)
+        if isinstance(v, dict):
+            flat.update(flatten_tree(v, key))
+        else:
+            flat[key] = np.asarray(v)
+    return flat
+
+
+def unflatten_tree(flat: dict[str, np.ndarray]) -> dict:
+    tree: dict = {}
+    for key, v in flat.items():
+        parts = key.split("/")
+        node = tree
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = v
+    return tree
+
+
+def save_params_npz(variables: dict, save_name: str, save_dir: str | None = None) -> str:
+    """sha256-named .npz export of a variables tree (extras.py:121-128 naming:
+    ``{name}-{sha256[:8]}.npz``)."""
+    save_dir = save_dir or os.getcwd()
+    flat = flatten_tree(variables)
+    buf = io.BytesIO()
+    np.savez(buf, **flat)
+    data = buf.getvalue()
+    digest = hashlib.sha256(data).hexdigest()[:8]
+    path = os.path.join(save_dir, f"{save_name}-{digest}.npz")
+    with open(path, "wb") as f:
+        f.write(data)
+    return path
+
+
+def load_params_npz(path: str) -> dict:
+    flat = dict(np.load(path).items())
+    return unflatten_tree(flat)
