@@ -1,0 +1,123 @@
+"""Pretrained weight registry + loaders.
+
+URL tables mirror the reference's checkpoint sources:
+  * its own GitHub release backbones (darknet.py:17,92-94; vovnet.py:121-134)
+  * AugReg / SigLIP / Mixer .npz on GCS (vit.py:189-207, mlp_mixer.py:73-81)
+  * official FB DeiT/CaiT (deit.py:59-65, cait.py:161-173),
+    MS Swin (swin.py:193-200), FB ConvNeXt (convnext.py:131-150)
+
+``load_pretrained(name, ...)`` returns (model, variables) — downloads are
+cached; all .pth reading is torch-free (utils.torch_pth).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+
+from ..utils.download import cached_download
+from .base import create_backbone
+
+_REF_RELEASE = "https://github.com/gau-nernst/vision-toolbox/releases/download/v0.0.1/"
+_DEIT_URL = "https://dl.fbaipublicfiles.com/deit/"
+_CONVNEXT_URL = "https://dl.fbaipublicfiles.com/convnext/"
+_SWIN_URL = "https://github.com/SwinTransformer/storage/releases/download/"
+
+# reference-trained conv backbones (reference release assets)
+BACKBONE_CKPTS = {
+    "darknet19": "darknet19-2cb641ca.pth",
+    "darknet53": "darknet53-94427f5b.pth",
+    "cspdarknet53": "cspdarknet53-3bfa0423.pth",
+    "darknet_yolov5n": "darknet_yolov5n-68f182f1.pth",
+    "darknet_yolov5s": "darknet_yolov5s-175f7462.pth",
+    "darknet_yolov5m": "darknet_yolov5m-9866aa40.pth",
+    "darknet_yolov5l": "darknet_yolov5l-8e25d388.pth",
+    "darknet_yolov5x": "darknet_yolov5x-0ed0c035.pth",
+    "vovnet27_slim": "vovnet27_slim-dd43306a.pth",
+    "vovnet39": "vovnet39-4c79d629.pth",
+    "vovnet57": "vovnet57-ecb9cc34.pth",
+    "vovnet19_slim_ese": "vovnet19_slim_ese-f8075640.pth",
+    "vovnet19_ese": "vovnet19_ese-a077657e.pth",
+    "vovnet39_ese": "vovnet39_ese-9ce81b0d.pth",
+    "vovnet57_ese": "vovnet57_ese-ae1a7f89.pth",
+    "vovnet99_ese": "vovnet99_ese-713f3062.pth",
+}
+
+# AugReg ViT (vit.py:189-196); all 224px
+AUGREG_CKPTS = {
+    "vit_ti_16": "Ti_16-i21k-300ep-lr_0.001-aug_none-wd_0.03-do_0.0-sd_0.0.npz",
+    "vit_s_32": "S_32-i21k-300ep-lr_0.001-aug_none-wd_0.1-do_0.0-sd_0.0.npz",
+    "vit_s_16": "S_16-i21k-300ep-lr_0.001-aug_light1-wd_0.03-do_0.0-sd_0.0.npz",
+    "vit_b_32": "B_32-i21k-300ep-lr_0.001-aug_light1-wd_0.1-do_0.0-sd_0.0.npz",
+    "vit_b_16": "B_16-i21k-300ep-lr_0.001-aug_medium1-wd_0.1-do_0.0-sd_0.0.npz",
+    "vit_l_16": "L_16-i21k-300ep-lr_0.001-aug_strong1-wd_0.1-do_0.0-sd_0.0.npz",
+}
+
+# SigLIP (vit.py:200-207): (name, img_size) -> file
+SIGLIP_CKPTS = {
+    ("vit_b_16", 224): "webli_en_b16_224_63724782.npz",
+    ("vit_b_16", 256): "webli_en_b16_256_60500360.npz",
+    ("vit_b_16", 384): "webli_en_b16_384_68578854.npz",
+    ("vit_b_16", 512): "webli_en_b16_512_68580893.npz",
+    ("vit_l_16", 256): "webli_en_l16_256_60552751.npz",
+    ("vit_l_16", 384): "webli_en_l16_384_63634585.npz",
+}
+
+# Mixer (mlp_mixer.py:73-80)
+MIXER_CKPTS = {
+    "mixer_s_8": "gsam/Mixer-S_8.npz",
+    "mixer_s_16": "gsam/Mixer-S_16.npz",
+    "mixer_s_32": "gsam/Mixer-S_32.npz",
+    "mixer_b_16": "imagenet21k/Mixer-B_16.npz",
+    "mixer_b_32": "gsam/Mixer-B_32.npz",
+    "mixer_l_16": "imagenet21k/Mixer-L_16.npz",
+}
+
+
+def _as_jnp(tree):
+    return jax.tree_util.tree_map(jax.numpy.asarray, tree)
+
+
+def load_pretrained(name: str, img_size: int = 224, weights: str | None = None, **kwargs: Any):
+    """Build `name` and load its pretrained variables. Returns (model, variables)."""
+    from ..utils import torch_interop as ti
+    from ..utils.flax_ckpt import load_mixer_npz, load_vit_npz
+    from ..utils.torch_pth import load_pth
+
+    if name in BACKBONE_CKPTS and not weights:
+        model = create_backbone(name, **kwargs)
+        path = cached_download(_REF_RELEASE + BACKBONE_CKPTS[name])
+        sd = load_pth(path)
+        if name.startswith("darknet_yolov5"):
+            tree = ti.convert_darknet(sd, model.stage_configs, csp=True, yolov5=True)
+        elif name.startswith("darknet") or name.startswith("cspdarknet"):
+            tree = ti.convert_darknet(sd, model.stage_configs, csp=model.csp)
+        else:
+            tree = ti.convert_vovnet(sd, model.stage_configs, ese=model.ese)
+        return model, _as_jnp(tree)
+
+    if name.startswith("vit_"):
+        if weights == "siglip":
+            model = create_backbone(name, img_size=img_size, cls_token=False, pool_type="mha", **kwargs)
+            path = cached_download(
+                f"https://storage.googleapis.com/big_vision/siglip/{SIGLIP_CKPTS[(name, img_size)]}"
+            )
+            params = load_vit_npz(path, model.depth, big_vision=True, prefix="params/img/")
+        else:  # augreg
+            assert img_size == 224, "AugReg checkpoints are 224px (vit.py:188)"
+            model = create_backbone(name, img_size=img_size, **kwargs)
+            path = cached_download(
+                f"https://storage.googleapis.com/vit_models/augreg/{AUGREG_CKPTS[name]}"
+            )
+            params = load_vit_npz(path, model.depth)
+        return model, {"params": _as_jnp(params)}
+
+    if name.startswith("mixer_"):
+        model = create_backbone(name, img_size=img_size, **kwargs)
+        path = cached_download(
+            f"https://storage.googleapis.com/mixer_models/{MIXER_CKPTS[name]}"
+        )
+        return model, {"params": _as_jnp(load_mixer_npz(path, model.n_layers))}
+
+    raise KeyError(f"no pretrained weights registered for {name!r}")
