@@ -24,6 +24,10 @@ BACKBONES = [
     ("vovnet19_slim_ese", 64, {}),
     ("swin_t", 64, {"img_size": 64, "window_sizes": (2, 2, 2, 2)}),
     ("convnext_a", 64, {}),
+    ("resnet18", 64, {}),
+    ("mobilenet_v3_small", 64, {}),
+    ("efficientnet_b0", 64, {}),
+    ("regnet_y_400mf", 64, {}),
 ]
 
 

@@ -67,6 +67,8 @@ class ConvNormAct(nn.Module):
     groups: int = 1
     norm: str = "bn"
     act: str = "relu"
+    norm_eps: float = 1e-5  # torch BN defaults (README.md:122)
+    norm_momentum: float = 0.9  # flax convention ≡ torch momentum 0.1
     dtype: Dtype | None = None
     axis_name: str | None = None  # set for pmap/shard_map cross-replica BN
 
@@ -96,8 +98,8 @@ class ConvNormAct(nn.Module):
         if self.norm == "bn":
             x = nn.BatchNorm(
                 use_running_average=not train,
-                momentum=0.9,  # flax ra = m*ra + (1-m)*batch ≡ torch momentum 0.1
-                epsilon=1e-5,
+                momentum=self.norm_momentum,  # flax ra = m*ra + (1-m)*batch
+                epsilon=self.norm_eps,
                 axis_name=self.axis_name,
                 dtype=self.dtype,
                 name="norm",
@@ -246,10 +248,13 @@ class ESEBlock(nn.Module):
 
 
 class SqueezeExcitation(nn.Module):
-    """torchvision-style SE block (squeeze 1×1 → ReLU → excite 1×1 → sigmoid),
-    used by PatchConvNet (reference patchconvnet.py:42)."""
+    """torchvision-style SE block (squeeze 1×1 → act → excite 1×1 → gate).
+    Defaults (relu/sigmoid) are PatchConvNet's (reference patchconvnet.py:42);
+    MobileNetV3 uses relu/hardsigmoid, EfficientNet silu/sigmoid."""
 
     squeeze_channels: int
+    act: str = "relu"
+    gate: str = "sigmoid"
     dtype: Dtype | None = None
 
     @nn.compact
@@ -262,14 +267,15 @@ class SqueezeExcitation(nn.Module):
             bias_init=torch_default_bias(in_channels),
             dtype=self.dtype, name="fc1",
         )(gap)
-        s = jax.nn.relu(s)
+        s = ACTIVATIONS[self.act](s)
         s = nn.Conv(
             in_channels, (1, 1),
             kernel_init=torch_default_kernel,
             bias_init=torch_default_bias(self.squeeze_channels),
             dtype=self.dtype, name="fc2",
         )(s)
-        return x * jax.nn.sigmoid(s)
+        gate = jax.nn.sigmoid if self.gate == "sigmoid" else jax.nn.hard_sigmoid
+        return x * gate(s)
 
 
 class DeformableConv2d(nn.Module):
