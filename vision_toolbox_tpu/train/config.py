@@ -38,6 +38,7 @@ class DataConfig:
     random_erasing_p: float = 0.1
     trivial_augment: bool = True
     synthetic: bool = False  # random data for smoke runs/benchmarks
+    native_decode: bool = False  # C++ libjpeg decode path (native/decoder.cpp)
 
 
 @dataclass

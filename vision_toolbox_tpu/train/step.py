@@ -68,6 +68,9 @@ def make_train_step(
         rng = jax.random.fold_in(rng, state.step)
         rng_ta, rng_re, rng_mix, rng_drop = jax.random.split(rng, 4)
 
+        if images.dtype == jnp.uint8:  # native loader ships uint8; normalize on device
+            images = images.astype(jnp.float32) / 255.0
+
         if trivial_augment:
             from ..ops.trivial_augment import trivial_augment_wide
 

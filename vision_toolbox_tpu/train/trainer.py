@@ -120,12 +120,23 @@ class Trainer:
 
         train_ds = ImageFolder(cfg.data.train_dir)
         val_ds = ImageFolder(cfg.data.val_dir) if cfg.data.val_dir else None
-        train = DataLoader(
-            train_ds, cfg.data.batch_size,
-            transform=lambda r, im: train_transform(r, im, cfg.data.train_crop_size),
-            shuffle=True, drop_last=True, num_workers=cfg.data.num_workers,
-            seed=cfg.train.seed,
-        )
+        if cfg.data.native_decode:
+            from ..data.native import NativeJPEGLoader, native_available
+
+            if not native_available():
+                raise RuntimeError("data.native_decode=true but native/libvttdata.so "
+                                   "is unavailable (run `make -C native`)")
+            train = NativeJPEGLoader(
+                train_ds, cfg.data.batch_size, cfg.data.train_crop_size,
+                num_threads=cfg.data.num_workers, seed=cfg.train.seed,
+            )
+        else:
+            train = DataLoader(
+                train_ds, cfg.data.batch_size,
+                transform=lambda r, im: train_transform(r, im, cfg.data.train_crop_size),
+                shuffle=True, drop_last=True, num_workers=cfg.data.num_workers,
+                seed=cfg.train.seed,
+            )
         val = (
             DataLoader(
                 val_ds, cfg.data.batch_size,
