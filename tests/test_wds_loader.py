@@ -1,0 +1,60 @@
+"""WebDataset streaming loader: batching, fixed epoch length, transforms."""
+
+import io
+import tarfile
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from vision_toolbox_tpu.data.wds_loader import WebDatasetLoader
+
+
+@pytest.fixture()
+def shards(tmp_path):
+    rng = np.random.default_rng(0)
+    paths = []
+    idx = 0
+    for s in range(2):
+        p = tmp_path / f"{s:04d}.tar"
+        with tarfile.open(p, "w") as tf:
+            for _ in range(10):
+                arr = rng.integers(0, 256, (28, 28, 3)).astype(np.uint8)
+                buf = io.BytesIO()
+                Image.fromarray(arr).save(buf, format="JPEG")
+                data = buf.getvalue()
+                info = tarfile.TarInfo(f"{idx:06d}.jpg")
+                info.size = len(data)
+                tf.addfile(info, io.BytesIO(data))
+                cls = str(idx % 3).encode()
+                info = tarfile.TarInfo(f"{idx:06d}.cls")
+                info.size = len(cls)
+                tf.addfile(info, io.BytesIO(cls))
+                idx += 1
+        paths.append(str(p))
+    return paths
+
+
+def _transform(rng, img):
+    return np.asarray(img.resize((16, 16)), np.float32) / 255.0
+
+
+def test_batches_and_shapes(shards):
+    loader = WebDatasetLoader(shards, 8, _transform, training=True, per_host=False)
+    batches = list(loader)
+    assert len(batches) == 2  # 20 samples, drop partial in training
+    images, labels = batches[0]
+    assert images.shape == (8, 16, 16, 3)
+    assert labels.dtype == np.int32
+
+
+def test_fixed_epoch_length_cycles(shards):
+    loader = WebDatasetLoader(shards, 8, _transform, training=True, num_batches=5, per_host=False)
+    assert len(loader) == 5
+    assert len(list(loader)) == 5  # 20 samples re-streamed to fill 5 batches
+
+
+def test_val_keeps_partial(shards):
+    loader = WebDatasetLoader(shards, 8, _transform, training=False, per_host=False)
+    batches = list(loader)
+    assert [b[0].shape[0] for b in batches] == [8, 8, 4]

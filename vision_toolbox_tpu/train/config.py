@@ -21,6 +21,10 @@ class ModelConfig:
     num_classes: int = 1000
     backbone_kwargs: dict = field(default_factory=dict)
     bf16: bool = True  # reference trains fp16 AMP (configs/base.yaml:20); TPU uses bf16
+    # post-hoc overrides mirroring classifier.py:69-76's module walk: applied
+    # to the backbone's dropout / stochastic-depth fields when it has them
+    drop_out: float | None = None
+    drop_path: float | None = None
 
 
 @dataclass

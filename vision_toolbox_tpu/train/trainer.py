@@ -45,10 +45,23 @@ class Trainer:
         self.cfg = cfg
         self.mesh = create_mesh(cfg.runtime.mesh_axes)
         compute_dtype = jnp.bfloat16 if cfg.model.bf16 else jnp.float32
+        backbone = create_backbone(
+            cfg.model.backbone, dtype=compute_dtype, **cfg.model.backbone_kwargs
+        )
+        # drop_out / drop_path overrides (classifier.py:69-76): linen modules
+        # are frozen dataclasses, so "walk and set" becomes "replace fields"
+        overrides = {}
+        for field_name, value in (
+            ("dropout", cfg.model.drop_out),
+            ("stochastic_depth", cfg.model.drop_path),
+            ("drop_path", cfg.model.drop_path),
+        ):
+            if value is not None and hasattr(backbone, field_name):
+                overrides[field_name] = value
+        if overrides:
+            backbone = backbone.replace(**overrides)
         self.model = ImageClassifier(
-            backbone=create_backbone(
-                cfg.model.backbone, dtype=compute_dtype, **cfg.model.backbone_kwargs
-            ),
+            backbone=backbone,
             num_classes=cfg.model.num_classes,
             dtype=compute_dtype,
         )
@@ -117,6 +130,38 @@ class Trainer:
             return train, val, len(train)
 
         from ..data import DataLoader, ImageFolder, train_transform, val_transform
+
+        if cfg.data.webdataset:
+            import glob
+
+            from ..data.wds_loader import WebDatasetLoader
+
+            train_shards = sorted(glob.glob(cfg.data.train_dir))
+            val_shards = sorted(glob.glob(cfg.data.val_dir)) if cfg.data.val_dir else []
+            num_batches = (
+                cfg.data.train_size // cfg.data.batch_size if cfg.data.train_size else None
+            )
+            train = WebDatasetLoader(
+                train_shards, cfg.data.batch_size,
+                transform=lambda r, im: train_transform(r, im, cfg.data.train_crop_size),
+                training=True, num_batches=num_batches, seed=cfg.train.seed,
+            )
+            val = (
+                WebDatasetLoader(
+                    val_shards, cfg.data.batch_size,
+                    transform=lambda r, im: val_transform(
+                        im, cfg.data.val_resize_size, cfg.data.val_crop_size
+                    ),
+                    training=False,
+                    num_batches=(cfg.data.val_size // cfg.data.batch_size) or None
+                    if cfg.data.val_size
+                    else None,
+                )
+                if val_shards
+                else None
+            )
+            steps = num_batches if num_batches else 1
+            return train, val, steps
 
         train_ds = ImageFolder(cfg.data.train_dir)
         val_ds = ImageFolder(cfg.data.val_dir) if cfg.data.val_dir else None
