@@ -48,6 +48,16 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(batch, mesh: Mesh, axis: str = "data"):
-    """Device-put a host batch (pytree of arrays) sharded over the data axis."""
+    """Device-put a host batch (pytree of arrays) sharded over the data axis.
+
+    Single-host: a plain sharded device_put. Multi-host: each host passes its
+    *local* slice of the global batch (1/process_count of the rows — the
+    loaders already do per-host sharding) and the pieces are assembled into
+    one global array (the TPU-native replacement for the reference's
+    per-rank batch split, data.py:65-66)."""
     sharding = batch_sharding(mesh, axis)
-    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), batch)
+    if jax.process_count() == 1:
+        return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), batch)
+    return jax.tree_util.tree_map(
+        lambda x: jax.make_array_from_process_local_data(sharding, x), batch
+    )
