@@ -69,6 +69,7 @@ class RuntimeConfig:
     checkpoint_every_epochs: int = 1
     resume: str | None = None
     mesh_axes: tuple[str, ...] = ("data",)
+    profile_steps: int = 0  # capture a jax.profiler trace of N train steps
 
 
 @dataclass

@@ -207,10 +207,24 @@ class Trainer:
         rng = jax.random.PRNGKey(cfg.train.seed + 1)
         from ..data.loader import prefetch_to_device
 
+        profiled = False
         for epoch in range(cfg.train.epochs):
             t0 = time.time()
             n_images = 0
             for images, labels in prefetch_to_device(iter(self.train_loader), self.mesh):
+                step_now = int(self.state.step)
+                if cfg.runtime.profile_steps and step_now == 2 and not profiled:
+                    # skip compile steps, then trace N steady-state steps
+                    profiled = True
+                    trace_dir = os.path.join(cfg.runtime.out_dir, "profile")
+                    jax.profiler.start_trace(trace_dir)
+                if (
+                    cfg.runtime.profile_steps
+                    and profiled
+                    and step_now == 2 + cfg.runtime.profile_steps
+                ):
+                    jax.profiler.stop_trace()
+                    self._log({"profile_trace": os.path.join(cfg.runtime.out_dir, "profile")})
                 self.state, metrics = self.train_step(self.state, images, labels, rng)
                 n_images += images.shape[0]
                 step = int(self.state.step)
