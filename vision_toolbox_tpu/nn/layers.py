@@ -96,9 +96,11 @@ class ConvNormAct(nn.Module):
             name="conv",
         )(x)
         if self.norm == "bn":
-            x = nn.BatchNorm(
+            from .norm import BatchNorm
+
+            x = BatchNorm(
                 use_running_average=not train,
-                momentum=self.norm_momentum,  # flax ra = m*ra + (1-m)*batch
+                momentum=self.norm_momentum,  # flax convention: ra = m*ra + (1-m)*batch
                 epsilon=self.norm_eps,
                 axis_name=self.axis_name,
                 dtype=self.dtype,
