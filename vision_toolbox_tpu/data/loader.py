@@ -12,11 +12,11 @@ from __future__ import annotations
 import queue
 import random
 import threading
-from typing import Callable, Iterator, Sequence
+from typing import Callable, Iterator
 
 import numpy as np
 
-from .datasets import ImageFolder, Sample
+from .datasets import ImageFolder
 
 
 class DataLoader:

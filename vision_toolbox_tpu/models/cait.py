@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from ..nn.attention import MHA, ViTBlock
+from ..nn.attention import ViTBlock
 from ..nn.initializers import torch_default_bias, torch_default_kernel
 from .base import register_model
 

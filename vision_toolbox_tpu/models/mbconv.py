@@ -9,7 +9,7 @@ from typing import Any
 import jax
 from flax import linen as nn
 
-from ..nn.layers import ACTIVATIONS, ConvNormAct, SqueezeExcitation, StochasticDepth
+from ..nn.layers import ConvNormAct, SqueezeExcitation, StochasticDepth
 
 
 def make_divisible(v: float, divisor: int = 8) -> int:

@@ -18,7 +18,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from ..nn.attention import MHA, MHAPooling, ViTBlock
+from ..nn.attention import MHAPooling, ViTBlock
 from ..nn.initializers import torch_default_bias, torch_default_kernel
 from .base import register_model
 

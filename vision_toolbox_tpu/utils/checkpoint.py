@@ -14,7 +14,6 @@ import io
 import os
 from typing import Any
 
-import jax
 import numpy as np
 
 

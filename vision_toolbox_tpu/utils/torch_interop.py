@@ -19,8 +19,6 @@ linear (out,in)→(in,out), qkv chunked along dim 0 (deit.py:96-103).
 
 from __future__ import annotations
 
-from typing import Any
-
 import numpy as np
 
 
