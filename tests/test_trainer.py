@@ -57,6 +57,14 @@ def test_fit_and_checkpoint(tmp_path):
     np.testing.assert_array_equal(a, b)
 
 
+def test_data_echoing_doubles_steps(tmp_path):
+    cfg = _smoke_cfg(tmp_path)
+    cfg.data.echo = 2
+    trainer = Trainer(cfg)
+    state = trainer.fit()
+    assert int(state.step) == 20  # 10 host batches × 2 echoes
+
+
 def test_config_composition(tmp_path):
     import yaml
 

@@ -43,6 +43,11 @@ class DataConfig:
     trivial_augment: bool = True
     synthetic: bool = False  # random data for smoke runs/benchmarks
     native_decode: bool = False  # C++ libjpeg decode path (native/decoder.cpp)
+    # data echoing (arxiv 1907.05550): run N optimizer steps per host batch —
+    # the device-side augmentation re-randomizes each step, so echoes see
+    # different TrivialAugment/RandomErasing/CutMix draws. Use when the input
+    # pipeline, not the TPU, is the bottleneck.
+    echo: int = 1
 
 
 @dataclass

@@ -67,6 +67,7 @@ class Trainer:
         )
 
         self.train_loader, self.val_loader, self.steps_per_epoch = self._build_data()
+        self.steps_per_epoch *= max(1, cfg.data.echo)  # echoes are real optimizer steps
 
         rng = jax.random.PRNGKey(cfg.train.seed)
         img = cfg.data.train_crop_size
@@ -225,7 +226,10 @@ class Trainer:
                 ):
                     jax.profiler.stop_trace()
                     self._log({"profile_trace": os.path.join(cfg.runtime.out_dir, "profile")})
-                self.state, metrics = self.train_step(self.state, images, labels, rng)
+                for _ in range(max(1, cfg.data.echo)):
+                    # each echo folds a new step count into the RNG, so the
+                    # device-side augmentation differs per echo
+                    self.state, metrics = self.train_step(self.state, images, labels, rng)
                 n_images += images.shape[0]
                 step = int(self.state.step)
                 if step % cfg.runtime.log_every == 0:
