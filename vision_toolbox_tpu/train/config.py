@@ -53,6 +53,7 @@ class DataConfig:
 @dataclass
 class TrainConfig:
     epochs: int = 100
+    optimizer: str = "sgd"  # sgd | rmsprop | adamw | lamb | lars
     lr: float = 0.05
     momentum: float = 0.9
     weight_decay: float = 2e-5

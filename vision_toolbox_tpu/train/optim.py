@@ -90,9 +90,66 @@ def sgd_with_param_groups(
     nesterov: bool = False,
 ) -> optax.GradientTransformation:
     """torch.optim.SGD semantics with the reference's 3-group weight decay."""
-    txs = []
-    for group, wd in (("other", weight_decay), ("norm", norm_weight_decay), ("bias", bias_weight_decay)):
-        if wd:
-            txs.append(optax.masked(optax.add_decayed_weights(wd), _group_mask(params, group)))
-    txs.append(optax.sgd(learning_rate, momentum=momentum, nesterov=nesterov))
-    return optax.chain(*txs)
+    return make_optimizer(
+        "sgd", params, learning_rate, momentum=momentum,
+        weight_decay=weight_decay, norm_weight_decay=norm_weight_decay,
+        bias_weight_decay=bias_weight_decay, nesterov=nesterov,
+    )
+
+
+def make_optimizer(
+    name: str,
+    params: Any,
+    learning_rate: float | Callable,
+    momentum: float = 0.9,
+    weight_decay: float = 2e-5,
+    norm_weight_decay: float = 0.0,
+    bias_weight_decay: float = 0.0,
+    nesterov: bool = False,
+) -> optax.GradientTransformation:
+    """Optimizer selection with per-group weight decay.
+
+    The reference exposes an ``optimizer`` knob resolving torch/timm
+    optimizers by name (classifier.py:158-169 — where only SGD/RMSprop
+    actually work due to the getattr bug); here sgd / rmsprop / adamw / lamb /
+    lars are all functional. Decoupled-wd optimizers (adamw, lamb) apply the
+    group decay inside their update; sgd/rmsprop add it to the gradient
+    before momentum (torch semantics).
+    """
+    name = name.lower()
+    groups = (("other", weight_decay), ("norm", norm_weight_decay), ("bias", bias_weight_decay))
+
+    def decay_chain():
+        return [
+            optax.masked(optax.add_decayed_weights(wd), _group_mask(params, group))
+            for group, wd in groups
+            if wd
+        ]
+
+    if name == "sgd":
+        return optax.chain(*decay_chain(), optax.sgd(learning_rate, momentum=momentum, nesterov=nesterov))
+    if name == "rmsprop":
+        # torch RMSprop defaults: alpha 0.99, eps 1e-8 *outside* the sqrt
+        return optax.chain(
+            *decay_chain(),
+            optax.rmsprop(
+                learning_rate, decay=0.99, eps=1e-8, eps_in_sqrt=False,
+                momentum=momentum,
+            ),
+        )
+    if name == "adamw":
+        return optax.chain(
+            optax.scale_by_adam(),
+            *decay_chain(),
+            optax.scale_by_learning_rate(learning_rate),
+        )
+    if name == "lamb":
+        return optax.chain(
+            optax.scale_by_adam(),
+            *decay_chain(),
+            optax.scale_by_trust_ratio(),
+            optax.scale_by_learning_rate(learning_rate),
+        )
+    if name == "lars":
+        return optax.lars(learning_rate, weight_decay=weight_decay, momentum=momentum)
+    raise ValueError(f"unsupported optimizer {name!r}")

@@ -84,8 +84,10 @@ class Trainer:
             cfg.train.decay_factor,
         )
         self.schedule = schedule
-        tx = sgd_with_param_groups(
-            variables["params"], schedule,
+        from .optim import make_optimizer
+
+        tx = make_optimizer(
+            cfg.train.optimizer, variables["params"], schedule,
             momentum=cfg.train.momentum,
             weight_decay=cfg.train.weight_decay,
             norm_weight_decay=cfg.train.norm_weight_decay,
