@@ -68,6 +68,25 @@ def test_multi_device_train_step(setup):
     assert int(state3.step) == 2
 
 
+def test_train_step_with_stochastic_depth():
+    """rng threading through drop-path + LayerScale models (deit3) under the
+    sharded step."""
+    model = ImageClassifier(
+        backbone=create_backbone("deit3_ti_16", img_size=32, stochastic_depth=0.2),
+        num_classes=NUM_CLASSES,
+    )
+    variables = model.init({"params": jax.random.PRNGKey(0)}, jnp.zeros((1, 32, 32, 3)), train=False)
+    tx = sgd_with_param_groups(variables["params"], 0.01, momentum=0.9)
+    state = TrainState.create(model.apply, variables, tx)
+    mesh = create_mesh(("data",))
+    step = shard_train_step(make_train_step(NUM_CLASSES), mesh)
+    images = jax.random.uniform(jax.random.PRNGKey(1), (16, 32, 32, 3))
+    labels = jax.random.randint(jax.random.PRNGKey(2), (16,), 0, NUM_CLASSES)
+    images, labels = shard_batch((images, labels), mesh)
+    state, metrics = step(state, images, labels, jax.random.PRNGKey(3))
+    assert np.isfinite(float(metrics["loss"]))
+
+
 def test_eval_step(setup):
     _, state = setup
     eval_step = jax.jit(make_eval_step())

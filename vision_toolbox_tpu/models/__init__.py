@@ -4,6 +4,7 @@ from .convnext import ConvNeXt  # noqa: F401
 from .darknet import Darknet, DarknetYOLOv5  # noqa: F401
 from .deit import DeiT  # noqa: F401
 from .efficientnet import EfficientNet  # noqa: F401
+from . import necks  # noqa: F401
 from .mlp_mixer import MLPMixer  # noqa: F401
 from .mobilenet import MobileNetV3  # noqa: F401
 from .patchconvnet import PatchConvNet  # noqa: F401

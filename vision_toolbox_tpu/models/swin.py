@@ -59,6 +59,12 @@ def _shift_attn_mask(input_size: int, window_size: int, shift: int) -> np.ndarra
 def window_partition(x: jax.Array, window_size: int) -> jax.Array:
     """(B, H, W, C) → (B, nW, w², C) (ref swin.py:16-21)."""
     B, H, W, C = x.shape
+    if H % window_size or W % window_size:
+        raise ValueError(
+            f"feature map {H}x{W} not divisible by window {window_size}; "
+            f"pick img_size so every stage grid divides its window size "
+            f"(e.g. 224 for the default configs)"
+        )
     nH, nW = H // window_size, W // window_size
     x = x.reshape(B, nH, window_size, nW, window_size, C)
     x = x.transpose(0, 1, 3, 2, 4, 5)

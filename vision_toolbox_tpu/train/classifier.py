@@ -24,7 +24,9 @@ class ImageClassifier(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
         x = self.backbone(x, train=train)
-        if self.include_pool:
+        if self.include_pool and x.ndim == 4:
+            # conv backbones return NHWC maps; token models (ViT/DeiT/...)
+            # already return pooled (B, C) embeddings
             x = jnp.mean(x, axis=(1, 2))  # AdaptiveAvgPool2d((1,1)) + Flatten
         head = Linear(self.num_classes, dtype=self.dtype, name="head")
         return head(x).astype(jnp.float32)  # logits in fp32 for a stable loss
