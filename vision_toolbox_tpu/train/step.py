@@ -115,10 +115,15 @@ def make_train_step(
 
 def make_eval_step(compute_dtype: Any = jnp.float32):
     def eval_step(state: TrainState, images, labels):
+        if images.dtype == jnp.uint8:
+            images = images.astype(jnp.float32) / 255.0
         logits = state.apply_fn(state.variables, images.astype(compute_dtype), train=False)
+        top5 = jax.lax.top_k(logits, 5)[1]
+        acc5 = (top5 == labels[:, None]).any(axis=-1).mean()
         return {
             "loss": cross_entropy(logits, labels),
             "acc": accuracy(logits, labels),
+            "acc5": acc5,
             "count": jnp.asarray(labels.shape[0], jnp.float32),
         }
 

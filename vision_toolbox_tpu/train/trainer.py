@@ -255,7 +255,7 @@ class Trainer:
         return self.state
 
     def evaluate(self) -> dict:
-        total, loss_sum, acc_sum = 0.0, 0.0, 0.0
+        total, loss_sum, acc_sum, acc5_sum = 0.0, 0.0, 0.0, 0.0
         for images, labels in self.val_loader:
             images, labels = shard_batch((images, labels), self.mesh)
             m = self.eval_step(self.state, images, labels)
@@ -263,9 +263,14 @@ class Trainer:
             total += count
             loss_sum += float(m["loss"]) * count
             acc_sum += float(m["acc"]) * count
+            acc5_sum += float(m["acc5"]) * count
         if total == 0:
             return {}
-        return {"val/loss": loss_sum / total, "val/acc": acc_sum / total}
+        return {
+            "val/loss": loss_sum / total,
+            "val/acc": acc_sum / total,
+            "val/acc5": acc5_sum / total,
+        }
 
     def save(self, epoch: int, val_acc: float | None = None):
         from ..utils.checkpoint import save_train_state
