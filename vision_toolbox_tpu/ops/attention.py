@@ -29,9 +29,9 @@ def dot_product_attention(
     position bias + shift mask (ref swin.py:75-81).
     """
     if dropout_rate == 0.0:
-        from .flash_attention import PALLAS_MIN_SEQ, flash_attention
+        from .flash_attention import flash_attention, use_pallas
 
-        if jax.default_backend() == "tpu" and q.shape[-3] >= PALLAS_MIN_SEQ:
+        if use_pallas(q.shape[-3]):
             return flash_attention(q, k, v, bias=bias)
         return jax.nn.dot_product_attention(q, k, v, bias=bias)
     # manual path with attention dropout (ref vit.py:41-44 fallback)

@@ -169,8 +169,20 @@ def flash_attention(
     return out.reshape(B, N, T, H).transpose(0, 2, 1, 3)
 
 
+def use_pallas(seq_len: int) -> bool:
+    """Dispatch rule: pallas wins for long, 128-aligned sequences (measured:
+    1.08×@1024, 1.19×@2048, 1.23×@4096 vs XLA on v5e); unaligned lengths
+    (e.g. ViT's 1025 = patches + cls) pay for a padded tail block and are
+    faster on XLA."""
+    return (
+        jax.default_backend() == "tpu"
+        and seq_len >= PALLAS_MIN_SEQ
+        and seq_len % 128 == 0
+    )
+
+
 def attention(q, k, v, bias=None):
     """Auto-dispatch: pallas flash for long sequences on TPU, XLA otherwise."""
-    if jax.default_backend() == "tpu" and q.shape[1] >= PALLAS_MIN_SEQ:
+    if use_pallas(q.shape[1]):
         return flash_attention(q, k, v, bias)
     return jax.nn.dot_product_attention(q, k, v, bias=bias)
