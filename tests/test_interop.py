@@ -148,6 +148,36 @@ def test_convert_vovnet_structure():
     _assert_same_structure(converted["batch_stats"], variables["batch_stats"])
 
 
+def test_convert_darknet_yolov5_structure():
+    from vision_toolbox_tpu.models.darknet import _YOLOV5_VARIANTS
+    from vision_toolbox_tpu.utils.torch_interop import convert_darknet
+
+    depth_scale, width_scale = _YOLOV5_VARIANTS["n"]
+    stage_configs = tuple(
+        (int(d * depth_scale), int(w * width_scale))
+        for d, w in zip((3, 6, 9, 3), (128, 256, 512, 1024))
+    )
+    stem = int(64 * width_scale)
+    sd = _fake_cna("stem", 3, stem, 6)
+    in_c = stem
+    for i, (n, out_c) in enumerate(stage_configs):
+        sd.update(_fake_cna(f"stages.{i}.conv", in_c, out_c, 3))
+        half = out_c // 2
+        sd.update(_fake_cna(f"stages.{i}.conv1", out_c, half, 1))
+        sd.update(_fake_cna(f"stages.{i}.conv2", out_c, half, 1))
+        sd.update(_fake_cna(f"stages.{i}.out_conv", out_c, out_c, 1))
+        for j in range(n):
+            sd.update(_fake_cna(f"stages.{i}.blocks.{j}.conv1", half, half, 1))
+            sd.update(_fake_cna(f"stages.{i}.blocks.{j}.conv2", half, half, 3))
+        in_c = out_c
+
+    converted = convert_darknet(sd, stage_configs, csp=True, yolov5=True)
+    model = create_backbone("darknet_yolov5n")
+    variables = model.init_variables(0, 64)
+    _assert_same_structure(converted["params"], variables["params"])
+    _assert_same_structure(converted["batch_stats"], variables["batch_stats"])
+
+
 def test_convert_swin_structure():
     from vision_toolbox_tpu.utils.torch_interop import convert_swin
 
