@@ -87,6 +87,37 @@ def test_train_step_with_stochastic_depth():
     assert np.isfinite(float(metrics["loss"]))
 
 
+def test_tensor_parallel_head():
+    """dp×tp mesh: the classifier head kernel shards over the model axis and
+    stays sharded through a full train step (GSPMD propagates committed
+    shardings)."""
+    from jax.sharding import PartitionSpec as P
+
+    from vision_toolbox_tpu.parallel.sharding import shard_train_state
+
+    num_classes = 16
+    model = ImageClassifier(backbone=create_backbone("darknet19"), num_classes=num_classes)
+    variables = model.init({"params": jax.random.PRNGKey(0)}, jnp.zeros((1, 32, 32, 3)), train=False)
+    tx = sgd_with_param_groups(variables["params"], 0.01, momentum=0.9, weight_decay=2e-5)
+    state = TrainState.create(model.apply, variables, tx)
+
+    mesh = create_mesh(("data", "model"), (4, 2))
+    state = shard_train_state(state, mesh, min_size=1024)
+    spec = state.params["head"]["kernel"].sharding.spec
+    assert spec == P(None, "model"), spec
+    # conv kernels (4-D) stay replicated
+    assert state.params["backbone"]["stem"]["conv"]["kernel"].sharding.spec == P()
+
+    step = shard_train_step(make_train_step(num_classes), mesh)
+    images = jax.random.uniform(jax.random.PRNGKey(1), (16, 32, 32, 3))
+    labels = jax.random.randint(jax.random.PRNGKey(2), (16,), 0, num_classes)
+    images, labels = shard_batch((images, labels), mesh)
+    state2, metrics = step(state, images, labels, jax.random.PRNGKey(3))
+    assert np.isfinite(float(metrics["loss"]))
+    # sharding survived the step (params and momentum)
+    assert state2.params["head"]["kernel"].sharding.spec == P(None, "model")
+
+
 def test_eval_step(setup):
     _, state = setup
     eval_step = jax.jit(make_eval_step())

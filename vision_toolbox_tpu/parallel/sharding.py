@@ -1,0 +1,67 @@
+"""Parameter sharding over a "model" mesh axis (tensor parallelism).
+
+Beyond-parity capability (the reference is DP-only, SURVEY.md §2.3): large
+2-D kernels (classifier heads, attention/MLP projections) are sharded
+column-wise over the model axis; everything else replicates. Shardings are
+*committed* with device_put before jit — XLA's partitioner (GSPMD) then
+propagates them through the whole train step and inserts the collectives, so
+the step function itself stays unchanged.
+
+Optimizer state trees mirror the param tree (optax momentum/trace buffers),
+so the same rule applies structurally to the entire TrainState.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def param_partition_spec(
+    path: tuple, value: Any, mesh: Mesh, model_axis: str = "model", min_size: int = 2**16
+) -> P:
+    """Column-shard big 2-D kernels over the model axis; replicate the rest."""
+    if model_axis not in mesh.axis_names:
+        return P()
+    axis_size = mesh.shape[model_axis]
+    if (
+        hasattr(value, "ndim")
+        and value.ndim == 2
+        and value.size >= min_size
+        and value.shape[-1] % axis_size == 0
+    ):
+        return P(None, model_axis)
+    return P()
+
+
+def shard_train_state(state, mesh: Mesh, model_axis: str = "model", min_size: int = 2**16):
+    """device_put a TrainState with TP shardings for params and matching
+    shardings for the optimizer buffers (same tree structure)."""
+
+    def spec_tree(tree):
+        return jax.tree_util.tree_map_with_path(
+            lambda path, v: NamedSharding(
+                mesh, param_partition_spec(path, v, mesh, model_axis, min_size)
+            ),
+            tree,
+        )
+
+    params_sh = spec_tree(state.params)
+    stats_sh = jax.tree_util.tree_map(lambda _: NamedSharding(mesh, P()), state.batch_stats)
+
+    def opt_sharding(x):
+        # momentum/trace buffers share the param shapes; match by shape
+        for leaf_sh, leaf in zip(
+            jax.tree_util.tree_leaves(params_sh), jax.tree_util.tree_leaves(state.params)
+        ):
+            if hasattr(x, "shape") and x.shape == leaf.shape and x.ndim == leaf.ndim:
+                return leaf_sh
+        return NamedSharding(mesh, P())
+
+    # structure-matching put: params/batch_stats exact trees, opt_state by shape
+    new_params = jax.device_put(state.params, params_sh)
+    new_stats = jax.device_put(state.batch_stats, stats_sh)
+    new_opt = jax.tree_util.tree_map(lambda x: jax.device_put(x, opt_sharding(x)), state.opt_state)
+    return state.replace(params=new_params, batch_stats=new_stats, opt_state=new_opt)
