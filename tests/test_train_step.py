@@ -118,6 +118,34 @@ def test_tensor_parallel_head():
     assert state2.params["head"]["kernel"].sharding.spec == P(None, "model")
 
 
+def test_fsdp_sharding():
+    """ZeRO-3-style: params live sharded over the data axis; the train step
+    still produces finite loss and keeps params sharded."""
+    from jax.sharding import PartitionSpec as P
+
+    from vision_toolbox_tpu.parallel.sharding import shard_train_state
+
+    model = ImageClassifier(backbone=create_backbone("darknet19"), num_classes=NUM_CLASSES)
+    variables = model.init({"params": jax.random.PRNGKey(0)}, jnp.zeros((1, 32, 32, 3)), train=False)
+    tx = sgd_with_param_groups(variables["params"], 0.01, momentum=0.9)
+    state = TrainState.create(model.apply, variables, tx)
+    mesh = create_mesh(("data",))
+    state = shard_train_state(state, mesh, fsdp=True, min_size=4096)
+
+    # a large conv kernel is sharded along a divisible dim
+    k = state.params["backbone"]["stage_4"]["block_0"]["conv2"]["conv"]["kernel"]
+    assert "data" in tuple(k.sharding.spec), k.sharding.spec
+
+    step = shard_train_step(make_train_step(NUM_CLASSES, mixup_alpha=0, cutmix_alpha=0), mesh)
+    images = jax.random.uniform(jax.random.PRNGKey(1), (16, 32, 32, 3))
+    labels = jax.random.randint(jax.random.PRNGKey(2), (16,), 0, NUM_CLASSES)
+    images, labels = shard_batch((images, labels), mesh)
+    state2, metrics = step(state, images, labels, jax.random.PRNGKey(3))
+    assert np.isfinite(float(metrics["loss"]))
+    k2 = state2.params["backbone"]["stage_4"]["block_0"]["conv2"]["conv"]["kernel"]
+    assert k2.sharding.spec == k.sharding.spec
+
+
 def test_eval_step(setup):
     _, state = setup
     eval_step = jax.jit(make_eval_step())

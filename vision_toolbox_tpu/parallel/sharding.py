@@ -36,16 +36,39 @@ def param_partition_spec(
     return P()
 
 
-def shard_train_state(state, mesh: Mesh, model_axis: str = "model", min_size: int = 2**16):
-    """device_put a TrainState with TP shardings for params and matching
-    shardings for the optimizer buffers (same tree structure)."""
+def fsdp_partition_spec(
+    path: tuple, value: Any, mesh: Mesh, data_axis: str = "data", min_size: int = 2**16
+) -> P:
+    """ZeRO-3-style: shard every large param over the DATA axis (along its
+    largest divisible dim). GSPMD then all-gathers weights at use and
+    reduce-scatters gradients — weights and optimizer state live sharded."""
+    axis_size = mesh.shape[data_axis]
+    if not hasattr(value, "ndim") or value.size < min_size:
+        return P()
+    for dim in sorted(range(value.ndim), key=lambda d: -value.shape[d]):
+        if value.shape[dim] % axis_size == 0:
+            spec = [None] * value.ndim
+            spec[dim] = data_axis
+            return P(*spec)
+    return P()
+
+
+def shard_train_state(
+    state, mesh: Mesh, model_axis: str = "model", min_size: int = 2**16,
+    fsdp: bool = False, data_axis: str = "data",
+):
+    """device_put a TrainState with TP (or FSDP when ``fsdp=True``) shardings
+    for params and matching shardings for the optimizer buffers (same tree
+    structure)."""
+
+    def rule(path, v):
+        if fsdp:
+            return fsdp_partition_spec(path, v, mesh, data_axis, min_size)
+        return param_partition_spec(path, v, mesh, model_axis, min_size)
 
     def spec_tree(tree):
         return jax.tree_util.tree_map_with_path(
-            lambda path, v: NamedSharding(
-                mesh, param_partition_spec(path, v, mesh, model_axis, min_size)
-            ),
-            tree,
+            lambda path, v: NamedSharding(mesh, rule(path, v)), tree
         )
 
     params_sh = spec_tree(state.params)
