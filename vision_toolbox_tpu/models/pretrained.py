@@ -74,6 +74,68 @@ MIXER_CKPTS = {
     "mixer_l_16": "imagenet21k/Mixer-L_16.npz",
 }
 
+# official FB DeiT, distilled (deit.py:59-65): (name, img_size) -> file
+DEIT_CKPTS = {
+    ("deit_ti_16", 224): "deit_tiny_distilled_patch16_224-b40b3cf7.pth",
+    ("deit_s_16", 224): "deit_small_distilled_patch16_224-649709d9.pth",
+    ("deit_b_16", 224): "deit_base_distilled_patch16_224-df68dfff.pth",
+    ("deit_b_16", 384): "deit_base_distilled_patch16_384-d0272ac0.pth",
+}
+
+# official FB DeiT3, in21k (deit.py:156-165); huge is patch 14 upstream
+DEIT3_CKPTS = {
+    ("deit3_s_16", 224): "deit_3_small_224_21k.pth",
+    ("deit3_s_16", 384): "deit_3_small_384_21k.pth",
+    ("deit3_b_16", 224): "deit_3_base_224_21k.pth",
+    ("deit3_b_16", 384): "deit_3_base_384_21k.pth",
+    ("deit3_l_16", 224): "deit_3_large_224_21k.pth",
+    ("deit3_l_16", 384): "deit_3_large_384_21k.pth",
+    ("deit3_h_14", 224): "deit_3_huge_224_21k.pth",
+}
+
+# official FB CaiT (cait.py:161-173)
+CAIT_CKPTS = {
+    ("cait_xxs_24", 224): "XXS24_224.pth",
+    ("cait_xxs_24", 384): "XXS24_384.pth",
+    ("cait_xxs_36", 224): "XXS36_224.pth",
+    ("cait_xxs_36", 384): "XXS36_384.pth",
+    ("cait_xs_24", 384): "XS24_384.pth",
+    ("cait_s_24", 224): "S24_224.pth",
+    ("cait_s_24", 384): "S24_384.pth",
+    ("cait_s_36", 384): "S36_384.pth",
+    ("cait_m_36", 384): "M36_384.pth",
+    ("cait_m_48", 448): "M48_448.pth",
+}
+
+# official MS Swin 22k + AutoFormerV2 S3 supernets (swin.py:193-207)
+SWIN_CKPTS = {
+    "swin_t": "v1.0.8/swin_tiny_patch4_window7_224_22k.pth",
+    "swin_s": "v1.0.8/swin_small_patch4_window7_224_22k.pth",
+    "swin_b": "v1.0.0/swin_base_patch4_window7_224_22k.pth",
+    "swin_l": "v1.0.0/swin_large_patch4_window7_224_22k.pth",
+    "swin_s3-t": "supernet-tiny.pth",
+    "swin_s3-s": "supernet-small.pth",
+    "swin_s3-b": "supernet-base.pth",
+}
+_S3_URL = "https://github.com/silent-chen/AutoFormer-model-zoo/releases/download/v1.0/"
+
+# official FB ConvNeXt v1 22k / v2 FCMAE (convnext.py:131-150)
+CONVNEXT_CKPTS = {
+    "convnext_t": "convnext_tiny_22k_224.pth",
+    "convnext_s": "convnext_small_22k_224.pth",
+    "convnext_b": "convnext_base_22k_224.pth",
+    "convnext_l": "convnext_large_22k_224.pth",
+    "convnext_xl": "convnext_xlarge_22k_224.pth",
+    "convnextv2_a": "convnextv2_atto_1k_224_fcmae.pt",
+    "convnextv2_f": "convnextv2_femto_1k_224_fcmae.pt",
+    "convnextv2_p": "convnextv2_pico_1k_224_fcmae.pt",
+    "convnextv2_n": "convnextv2_nano_1k_224_fcmae.pt",
+    "convnextv2_t": "convnextv2_tiny_1k_224_fcmae.pt",
+    "convnextv2_b": "convnextv2_base_1k_224_fcmae.pt",
+    "convnextv2_l": "convnextv2_large_1k_224_fcmae.pt",
+    "convnextv2_h": "convnextv2_huge_1k_224_fcmae.pt",
+}
+
 
 def _as_jnp(tree):
     return jax.tree_util.tree_map(jax.numpy.asarray, tree)
@@ -119,5 +181,51 @@ def load_pretrained(name: str, img_size: int = 224, weights: str | None = None, 
             f"https://storage.googleapis.com/mixer_models/{MIXER_CKPTS[name]}"
         )
         return model, {"params": _as_jnp(load_mixer_npz(path, model.n_layers))}
+
+    def _official_sd(url: str) -> dict:
+        sd = load_pth(cached_download(url))
+        return sd["model"] if isinstance(sd, dict) and "model" in sd else sd
+
+    if name.startswith("deit"):
+        table = DEIT3_CKPTS if name.startswith("deit3") else DEIT_CKPTS
+        model = create_backbone(name, img_size=img_size, **kwargs)
+        sd = _official_sd(_DEIT_URL + table[(name, img_size)])
+        distilled = not name.startswith("deit3")
+        tree = ti.convert_deit(
+            sd, model.depth, distilled=distilled, layer_scale=not distilled
+        )
+        return model, _as_jnp(tree)
+
+    if name.startswith("cait_"):
+        model = create_backbone(name, img_size=img_size, **kwargs)
+        sd = _official_sd(_DEIT_URL + CAIT_CKPTS[(name, img_size)])
+        return model, _as_jnp(ti.convert_cait(sd, model.sa_depth, model.ca_depth))
+
+    if name.startswith("swin_"):
+        # relative PE + trace-time masks run at any compatible resolution, so
+        # the 224px checkpoint loads directly at img_size (no resize_pe step —
+        # beats ref swin.py:186-187 NotImplementedError).
+        model = create_backbone(name, img_size=img_size, **kwargs)
+        base = _S3_URL if "s3" in name else _SWIN_URL
+        sd = _official_sd(base + SWIN_CKPTS[name])
+        return model, _as_jnp(ti.convert_swin(sd, model.depths))
+
+    if name.startswith("convnext"):
+        import numpy as np
+
+        model = create_backbone(name, **kwargs)
+        fname = CONVNEXT_CKPTS[name]
+        base = _CONVNEXT_URL + ("convnextv2/pt_only/" if model.v2 else "")
+        sd = _official_sd(base + fname)
+        tree = ti.convert_convnext(sd, model.depths, v2=model.v2)
+        if "norm" not in tree["params"]:
+            # FCMAE checkpoints lack the head norm (convnext.py:186-191);
+            # keep it at the LayerNorm default init like the reference does.
+            dd = model.d_model * 2 ** (len(model.depths) - 1)
+            tree["params"]["norm"] = {
+                "scale": np.ones(dd, np.float32),
+                "bias": np.zeros(dd, np.float32),
+            }
+        return model, _as_jnp(tree)
 
     raise KeyError(f"no pretrained weights registered for {name!r}")
