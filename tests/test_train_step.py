@@ -146,6 +146,36 @@ def test_fsdp_sharding():
     assert k2.sharding.spec == k.sharding.spec
 
 
+def test_opt_state_sharding_by_tree_path():
+    """Two same-shaped params with DIFFERENT specs: each momentum buffer must
+    get its own param's spec (path-matched), not the first shape-match."""
+    from jax.sharding import PartitionSpec as P
+
+    from vision_toolbox_tpu.parallel.sharding import shard_train_state
+
+    params = {
+        "a": {"kernel": jnp.ones((8, 8))},
+        "b": {"kernel": jnp.ones((8, 8))},
+    }
+    tx = __import__("optax").sgd(0.1, momentum=0.9)
+    state = TrainState.create(lambda v, x: x, {"params": params}, tx)
+    mesh = create_mesh(("data", "model"), (4, 2))
+
+    def rule(path, v):
+        names = [k.key for k in path if hasattr(k, "key")]
+        return P(None, "model") if "a" in names else P()
+
+    state = shard_train_state(state, mesh, rule_fn=rule)
+    assert state.params["a"]["kernel"].sharding.spec == P(None, "model")
+    assert state.params["b"]["kernel"].sharding.spec == P()
+    trace = jax.tree_util.tree_leaves(
+        state.opt_state, is_leaf=lambda x: isinstance(x, dict)
+    )
+    mu = [t for t in trace if isinstance(t, dict) and "a" in t][0]
+    assert mu["a"]["kernel"].sharding.spec == P(None, "model")
+    assert mu["b"]["kernel"].sharding.spec == P()
+
+
 def test_eval_step(setup):
     _, state = setup
     eval_step = jax.jit(make_eval_step())

@@ -53,15 +53,30 @@ def fsdp_partition_spec(
     return P()
 
 
+def _dict_path(path: tuple) -> tuple:
+    """The DictKey subsequence of a tree path. Flax param trees are pure
+    dicts, so for any optimizer buffer that mirrors the param tree (optax
+    ``trace``/``mu``/``nu`` live inside NamedTuple states whose fields show up
+    as GetAttrKey/SequenceKey entries) this recovers the param path exactly."""
+    return tuple(k.key for k in path if isinstance(k, jax.tree_util.DictKey))
+
+
 def shard_train_state(
     state, mesh: Mesh, model_axis: str = "model", min_size: int = 2**16,
-    fsdp: bool = False, data_axis: str = "data",
+    fsdp: bool = False, data_axis: str = "data", rule_fn=None,
 ):
     """device_put a TrainState with TP (or FSDP when ``fsdp=True``) shardings
-    for params and matching shardings for the optimizer buffers (same tree
-    structure)."""
+    for params and matching shardings for the optimizer buffers.
+
+    Optimizer buffers are matched to their parameter **by tree path** (the
+    DictKey subsequence of the leaf path), not by shape — two same-shaped
+    params with different specs keep distinct momentum shardings. ``rule_fn``
+    overrides the per-param spec rule: ``(path, value) -> PartitionSpec``.
+    """
 
     def rule(path, v):
+        if rule_fn is not None:
+            return rule_fn(path, v)
         if fsdp:
             return fsdp_partition_spec(path, v, mesh, data_axis, min_size)
         return param_partition_spec(path, v, mesh, model_axis, min_size)
@@ -74,17 +89,21 @@ def shard_train_state(
     params_sh = spec_tree(state.params)
     stats_sh = jax.tree_util.tree_map(lambda _: NamedSharding(mesh, P()), state.batch_stats)
 
-    def opt_sharding(x):
-        # momentum/trace buffers share the param shapes; match by shape
-        for leaf_sh, leaf in zip(
-            jax.tree_util.tree_leaves(params_sh), jax.tree_util.tree_leaves(state.params)
-        ):
-            if hasattr(x, "shape") and x.shape == leaf.shape and x.ndim == leaf.ndim:
-                return leaf_sh
-        return NamedSharding(mesh, P())
+    by_path = {
+        _dict_path(path): (leaf.shape, NamedSharding(mesh, rule(path, leaf)))
+        for path, leaf in jax.tree_util.tree_flatten_with_path(state.params)[0]
+    }
+    replicated = NamedSharding(mesh, P())
 
-    # structure-matching put: params/batch_stats exact trees, opt_state by shape
+    def opt_sharding(path, x):
+        ent = by_path.get(_dict_path(path))
+        if ent is not None and hasattr(x, "shape") and x.shape == ent[0]:
+            return ent[1]
+        return replicated
+
     new_params = jax.device_put(state.params, params_sh)
     new_stats = jax.device_put(state.batch_stats, stats_sh)
-    new_opt = jax.tree_util.tree_map(lambda x: jax.device_put(x, opt_sharding(x)), state.opt_state)
+    new_opt = jax.tree_util.tree_map_with_path(
+        lambda path, x: jax.device_put(x, opt_sharding(path, x)), state.opt_state
+    )
     return state.replace(params=new_params, batch_stats=new_stats, opt_state=new_opt)
