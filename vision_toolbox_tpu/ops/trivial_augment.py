@@ -155,26 +155,52 @@ def _autocontrast(images):
 
 
 def _equalize(images):
-    """Per-channel histogram equalization with torchvision's integer LUT."""
-    B, H, W, C = images.shape
-    v = jnp.round(images * 255.0).astype(jnp.int32)  # (B,H,W,C)
-    flat = v.transpose(0, 3, 1, 2).reshape(B * C, H * W)
+    """Per-channel histogram equalization with torchvision's integer LUT.
 
-    one_hot = jax.nn.one_hot(flat, 256, dtype=jnp.int32)  # (B*C, HW, 256)
-    hist = one_hot.sum(axis=1)  # (B*C, 256)
-    # step = (sum of hist minus last nonzero bin) // 255
+    TPU-friendly formulation: a 256-way one-hot would materialize a
+    (B·C, HW, 256) intermediate (~24 GB at bs256@176) and the final LUT
+    lookup is a per-element gather (which scalarizes on TPU). Instead the
+    8-bit value splits into nibbles v = 16·hi + lo, and both the histogram
+    and the LUT application become MXU matmuls over two (HW, 16) one-hots:
+
+        hist[h, l] = Σ_px onehot_hi[px, h] · onehot_lo[px, l]
+        eq[px]     = Σ_h  onehot_hi[px, h] · (onehot_lo @ LUTᵀ)[px, h]
+
+    All products involve a single nonzero per row with integer values ≤ 255
+    (exact in bf16) and accumulate in fp32, so the result is bit-identical
+    to the gather formulation. 292 ms → ~3 ms at bs256@176 on v5e.
+    """
+    B, H, W, C = images.shape
+    N, P = B * C, H * W
+    v = jnp.round(images * 255.0).astype(jnp.int32)  # (B,H,W,C)
+    flat = v.transpose(0, 3, 1, 2).reshape(N, P)
+
+    bins = jnp.arange(16, dtype=jnp.int32)
+    oh_hi = ((flat >> 4)[..., None] == bins).astype(jnp.bfloat16)  # (N, P, 16)
+    oh_lo = ((flat & 15)[..., None] == bins).astype(jnp.bfloat16)
+    hist = jnp.einsum(
+        "nph,npl->nhl", oh_hi, oh_lo, preferred_element_type=jnp.float32
+    ).reshape(N, 256).astype(jnp.int32)
+
+    # step = (pixel count minus last nonzero bin) // 255 (torchvision)
     idx = jax.lax.broadcasted_iota(jnp.int32, (256,), 0)
     has = hist > 0
-    last_nonzero = jnp.max(jnp.where(has, idx[None, :], -1), axis=1)  # (B*C,)
-    last_count = jnp.take_along_axis(hist, last_nonzero[:, None], axis=1)[:, 0]
-    step = (hist.sum(axis=1) - last_count) // 255  # (B*C,)
+    last_nonzero = jnp.max(jnp.where(has, idx[None, :], -1), axis=1)  # (N,)
+    last_count = jnp.max(jnp.where(idx[None, :] == last_nonzero[:, None], hist, 0), axis=1)
+    step = (hist.sum(axis=1) - last_count) // 255  # (N,)
 
     cum = jnp.cumsum(hist, axis=1)
     safe_step = jnp.maximum(step, 1)
     lut = (cum + (safe_step // 2)[:, None]) // safe_step[:, None]
     lut = jnp.clip(jnp.pad(lut, ((0, 0), (1, 0)))[:, :-1], 0, 255)  # shift right
 
-    eq = jnp.take_along_axis(lut, flat, axis=1)  # (B*C, HW)
+    # eq[px] = LUT[hi[px], lo[px]] via the same one-hots on the MXU
+    lut16 = lut.reshape(N, 16, 16).astype(jnp.bfloat16)
+    tmp = jnp.einsum(
+        "nhl,npl->nph", lut16, oh_lo, preferred_element_type=jnp.float32
+    )  # (N, P, 16): row p holds LUT[:, lo[p]]
+    eq = jnp.sum(oh_hi.astype(jnp.float32) * tmp, axis=-1)  # (N, P)
+
     eq = eq.reshape(B, C, H, W).transpose(0, 2, 3, 1).astype(images.dtype) / 255.0
     return jnp.where((step > 0).reshape(B, C)[:, None, None, :], eq, images)
 
@@ -189,8 +215,11 @@ def trivial_augment_wide(rng: jax.Array, images: jax.Array) -> jax.Array:
     mag01 = mag_idx.astype(jnp.float32) / (_NUM_MAGNITUDES - 1)  # [0, 1]
     signed = mag01 * sign  # [-1, 1]; op-specific ranges applied downstream
 
-    # geometric pass (identity matrix for pixel ops)
-    out = _affine_warp(images, op, signed)
+    # geometric pass (identity for pixel ops); Pallas three-shear kernel on
+    # TPU, exact bilinear gather elsewhere (ops/warp.py)
+    from .warp import affine_warp
+
+    out = affine_warp(images, op, signed)
 
     factor = (1.0 + signed * 0.99)[:, None, None, None]
     gray = _grayscale(out)
