@@ -54,6 +54,23 @@ def test_flash_grad_matches_xla():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4)
 
 
+def test_flash_grad_nondivisible_blocks():
+    """Pallas FA2 backward with ragged T/S (exercises the q-row lse=+inf
+    padding and the k-column masks in both backward kernels)."""
+    q, k, v = _qkv(T=80, H=16, seed=2)
+
+    def loss_flash(q, k, v):
+        return jnp.sum(flash_attention(q, k, v, block_q=64, block_k=32, interpret=True) ** 2)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(jax.nn.dot_product_attention(q, k, v) ** 2)
+
+    g_flash = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g_flash, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4)
+
+
 def test_flash_bias_grad():
     q, k, v = _qkv(T=32, H=16)
     bias = jnp.zeros((1, 2, 32, 32))
