@@ -65,6 +65,39 @@ def test_data_echoing_doubles_steps(tmp_path):
     assert int(state.step) == 20  # 10 host batches × 2 echoes
 
 
+def test_evaluate_ragged_final_batch(tmp_path):
+    """val size not divisible by (batch × mesh): final batch is padded with
+    label=-1 rows which the mask-aware eval step excludes; metrics must equal
+    an unpadded single-batch evaluation of the same samples."""
+    cfg = _smoke_cfg(tmp_path)
+    trainer = Trainer(cfg)  # batch 16 over an 8-device mesh
+
+    rng = np.random.default_rng(0)
+    images = rng.random((24, 32, 32, 3), np.float32)  # 24 = 16 + ragged 8
+    labels = rng.integers(0, 10, 24).astype(np.int32)
+    trainer.val_loader = [
+        (images[:16], labels[:16]),
+        (images[16:], labels[16:]),  # ragged: 8 rows
+    ]
+    got = trainer.evaluate()
+    assert got, "metrics expected"
+
+    # oracle: evaluate the same 24 samples in aligned batches of 8
+    trainer.val_loader = [(images[i : i + 8], labels[i : i + 8]) for i in range(0, 24, 8)]
+    cfg8 = trainer.cfg
+    cfg8.data.batch_size = 8
+    want = trainer.evaluate()
+    for key in ("val/loss", "val/acc", "val/acc5"):
+        np.testing.assert_allclose(got[key], want[key], rtol=1e-5, atol=1e-6)
+
+
+def test_evaluate_without_val_data(tmp_path):
+    cfg = _smoke_cfg(tmp_path)
+    trainer = Trainer(cfg)
+    trainer.val_loader = None
+    assert trainer.evaluate() == {}  # no crash, CLI `validate` degrades
+
+
 def test_config_composition(tmp_path):
     import yaml
 

@@ -114,17 +114,26 @@ def make_train_step(
 
 
 def make_eval_step(compute_dtype: Any = jnp.float32):
+    """Mask-aware eval step: rows with ``label < 0`` are padding (used to fill
+    ragged final val batches up to the jitted batch shape) and are excluded
+    from loss/accuracy; ``count`` is the number of real rows."""
+
     def eval_step(state: TrainState, images, labels):
         if images.dtype == jnp.uint8:
             images = images.astype(jnp.float32) / 255.0
         logits = state.apply_fn(state.variables, images.astype(compute_dtype), train=False)
+        valid = (labels >= 0).astype(jnp.float32)
+        count = valid.sum()
+        safe = jnp.maximum(count, 1.0)
+        labels_safe = jnp.maximum(labels, 0)
+        log_probs = jax.nn.log_softmax(logits, axis=-1)
+        nll = -jnp.take_along_axis(log_probs, labels_safe[:, None], axis=-1)[:, 0]
         top5 = jax.lax.top_k(logits, 5)[1]
-        acc5 = (top5 == labels[:, None]).any(axis=-1).mean()
         return {
-            "loss": cross_entropy(logits, labels),
-            "acc": accuracy(logits, labels),
-            "acc5": acc5,
-            "count": jnp.asarray(labels.shape[0], jnp.float32),
+            "loss": (nll * valid).sum() / safe,
+            "acc": ((jnp.argmax(logits, axis=-1) == labels) * valid).sum() / safe,
+            "acc5": ((top5 == labels[:, None]).any(axis=-1) * valid).sum() / safe,
+            "count": count,
         }
 
     return eval_step

@@ -255,8 +255,23 @@ class Trainer:
         return self.state
 
     def evaluate(self) -> dict:
+        if self.val_loader is None:
+            # reference CLI degrades gracefully without val data (Lightning)
+            print("evaluate: no validation data configured (data.val_dir unset)")
+            return {}
+        nominal = self.cfg.data.batch_size
         total, loss_sum, acc_sum, acc5_sum = 0.0, 0.0, 0.0, 0.0
         for images, labels in self.val_loader:
+            b = images.shape[0]
+            if b != nominal:
+                # pad the ragged final batch to the jitted shape; label -1
+                # marks padding, which the mask-aware eval step excludes
+                images = np.concatenate(
+                    [np.asarray(images), np.zeros((nominal - b, *images.shape[1:]), images.dtype)]
+                )
+                labels = np.concatenate(
+                    [np.asarray(labels, np.int32), np.full((nominal - b,), -1, np.int32)]
+                )
             images, labels = shard_batch((images, labels), self.mesh)
             m = self.eval_step(self.state, images, labels)
             count = float(m["count"])
