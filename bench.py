@@ -1,13 +1,15 @@
-"""North-star benchmark: ImageNet train images/sec/chip for CSPDarknet-53.
+"""North-star benchmark: ImageNet train images/sec/chip for CSPDarknet-53,
+running the FULL reference recipe step on device (configs/base.yaml knobs):
+TrivialAugmentWide + RandomErasing(0.1) + CutMix⊕MixUp → bf16 fwd/bwd →
+label-smoothed CE → SGD+momentum → BN stat updates, at the recipe's train
+resolution (RandomResizedCrop 176, README.md:90) on one TPU chip.
 
-Runs the full production train step (device-side CutMix⊕MixUp + RandomErasing
-upstream is host-side; here: bf16 forward/backward, label-smoothed CE,
-SGD+momentum, BN stat updates) on synthetic data at the reference recipe's
-train resolution (RandomResizedCrop 176, README.md:90) on one TPU chip.
-
-The reference publishes no throughput numbers (BASELINE.md: "published: {}"),
-so ``vs_baseline`` is reported as 1.0 against this repo's own first recorded
-value.
+The reference publishes no throughput numbers (BASELINE.md: "published: {}").
+``vs_baseline`` compares against this repo's round-1 recorded value
+(4358 img/s), which benchmarked a LIGHTER step (no TA/RE — see BENCHMARKS.md
+for both numbers); round 2 moved the whole recipe inside the step and made
+its augmentation ~100× faster (Pallas three-shear warp + MXU equalize), so
+the full-recipe number is now within ~15% of the bare step.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
@@ -47,11 +49,16 @@ def main():
     state = TrainState.create(model.apply, variables, tx)
 
     step = jax.jit(
-        make_train_step(num_classes, compute_dtype=jnp.bfloat16),
+        make_train_step(
+            num_classes,
+            compute_dtype=jnp.bfloat16,
+            trivial_augment=True,
+            random_erasing_p=0.1,
+        ),
         donate_argnums=(0,),
     )
 
-    images = jax.random.uniform(jax.random.PRNGKey(1), (batch, img, img, 3), jnp.bfloat16)
+    images = jax.random.uniform(jax.random.PRNGKey(1), (batch, img, img, 3), jnp.float32)
     labels = jax.random.randint(jax.random.PRNGKey(2), (batch,), 0, num_classes)
     rng = jax.random.PRNGKey(3)
 
@@ -72,13 +79,15 @@ def main():
     dt = time.perf_counter() - t0
 
     images_per_sec = batch * n_steps / dt
+    r1_light_step = 4358.4  # round-1 recorded value, WITHOUT on-device TA/RE
     print(
         json.dumps(
             {
-                "metric": "ImageNet train images/sec/chip (CSPDarknet-53, bf16, 176px, bs256)",
+                "metric": "ImageNet FULL-recipe train images/sec/chip "
+                "(CSPDarknet-53, bf16, 176px, bs256, TA+RE+CutMix/MixUp on device)",
                 "value": round(images_per_sec, 1),
                 "unit": "images/sec/chip",
-                "vs_baseline": 1.0,
+                "vs_baseline": round(images_per_sec / r1_light_step, 3),
             }
         )
     )
