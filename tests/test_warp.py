@@ -85,6 +85,19 @@ def test_shear3_mixed_batch():
         np.testing.assert_allclose(full[i], single[0], atol=1e-5)
 
 
+def test_pallas_warp_matches_xla_interpret():
+    """The Pallas kernel (interpret mode on CPU) is the same algorithm as
+    shear3_warp_xla — bit-level agreement expected."""
+    from vision_toolbox_tpu.ops.warp_pallas import shear3_warp_pallas
+
+    x = _images(5, 32, seed=7)
+    ops = jnp.asarray([OP_IDENTITY, OP_SHEAR_X, OP_ROTATE, OP_TRANSLATE_Y, OP_ROTATE])
+    mags = jnp.asarray([0.0, 0.4, 0.7, -0.5, -0.95], jnp.float32)
+    ref = np.asarray(shear3_warp_xla(x, ops, mags))
+    out = np.asarray(shear3_warp_pallas(x, ops, mags, interpret=True))
+    np.testing.assert_allclose(out, ref, atol=1e-6)
+
+
 def test_shear3_jits():
     x = _images(2, 32)
     f = jax.jit(shear3_warp_xla)

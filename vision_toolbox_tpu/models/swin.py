@@ -272,6 +272,39 @@ class SwinTransformer(Backbone):
         return self.out_channels_list[-1]
 
 
+def resize_window_tables(
+    params: dict, depths, old_windows, new_windows
+) -> dict:
+    """Transfer Swin params between window sizes by bicubic interpolation of
+    each block's relative-PE table over its (2w−1)×(2w−1) offset grid.
+
+    The reference cannot do this at all (its ``resize_pe`` raises
+    NotImplementedError, swin.py:186-187); resolution changes at a FIXED
+    window already work here without any transform because position info is
+    relative (tests/test_swin_resize.py). Returns a new param tree usable by
+    a SwinTransformer built with ``window_sizes=new_windows``.
+    """
+    import jax.numpy as jnp
+
+    def _copy(d):  # fresh dicts, shared leaves (no array copies)
+        return {k: _copy(v) if isinstance(v, dict) else v for k, v in d.items()}
+
+    out = _copy(params)
+    for s, (depth, ow, nw) in enumerate(zip(depths, old_windows, new_windows)):
+        if ow == nw:
+            continue
+        for b in range(depth):
+            blk = out[f"stage_{s}_block_{b}"]["mha"]
+            tbl = jnp.asarray(blk["relative_pe_table"])  # (1, H, (2ow−1)²)
+            heads = tbl.shape[1]
+            grid = tbl.reshape(heads, 2 * ow - 1, 2 * ow - 1)
+            resized = jax.image.resize(
+                grid, (heads, 2 * nw - 1, 2 * nw - 1), method="bicubic"
+            )
+            blk["relative_pe_table"] = resized.reshape(1, heads, (2 * nw - 1) ** 2)
+    return out
+
+
 # ref swin.py:191-200 (Swin §3.3 + AutoFormerV2 configs)
 _SWIN_VARIANTS = {
     "T": (96, 3, (2, 2, 6, 2), (7, 7, 7, 7)),
