@@ -141,3 +141,18 @@ def shear3_warp_pallas(
         interpret=interpret,
     )(flags, coef, x)
     return out.transpose(0, 2, 3, 1).astype(images.dtype)
+
+
+# ---------------------------------------------------------------------------
+# NOTE — fully-fused TrivialAugment kernel: tried, measured, rejected.
+#
+# Folding the pixel ops (and the rotate quarter-turn) into this kernel was
+# SLOWER than the split path on v5e: Mosaic charges a large fixed cost for
+# @pl.when branches with big bodies even when the predicate is false (an
+# in-kernel MXU-flip quarter-turn on a (B,)-grid 3-channel variant added
+# ~25 µs/program when never taken; seven pixel-op branches ~12 µs/program),
+# and hoisting the quarter-turn to XLA costs ~3 ms batch-wide. Measured at
+# bs256@176, mixed ops: split path (this kernel + XLA pixel ops + MXU
+# equalize) 10.1 ms; fused variants 11.6-14.4 ms. The split path in
+# trivial_augment_wide is the production one.
+# ---------------------------------------------------------------------------
