@@ -119,3 +119,32 @@ def test_repo_configs_parse():
     for name in ("base", "small", "large", "smoke"):
         cfg = load_config([os.path.join(os.path.dirname(__file__), "..", "configs", f"{name}.yaml")])
         assert cfg.train.epochs > 0
+
+
+def test_preemption_checkpoint(tmp_path):
+    """SIGTERM mid-training saves a resumable checkpoint at the next step
+    boundary instead of dying mid-epoch."""
+    import os
+    import signal
+    import threading
+
+    cfg = _smoke_cfg(tmp_path)
+    cfg.train.epochs = 50  # would be long — preemption must cut it short
+    trainer = Trainer(cfg)
+
+    killer = threading.Timer(8.0, lambda: os.kill(os.getpid(), signal.SIGTERM))
+    killer.start()
+    try:
+        state = trainer.fit()
+    finally:
+        killer.cancel()
+    step = int(state.step)
+    assert step < 500, "preemption did not stop training"
+    lines = [json.loads(l) for l in open(os.path.join(cfg.runtime.out_dir, "metrics.jsonl"))]
+    pre = [l for l in lines if "preempted_at_step" in l]
+    assert pre and os.path.isdir(pre[-1]["checkpoint"])
+
+    cfg2 = _smoke_cfg(tmp_path)
+    cfg2.runtime.resume = pre[-1]["checkpoint"]
+    trainer2 = Trainer(cfg2)
+    assert int(trainer2.state.step) == step

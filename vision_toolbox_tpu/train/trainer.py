@@ -210,6 +210,31 @@ class Trainer:
         rng = jax.random.PRNGKey(cfg.train.seed + 1)
         from ..data.loader import prefetch_to_device
 
+        # Preemption-safe: TPU VMs are commonly preemptible; SIGTERM/SIGINT
+        # request a checkpoint at the next step boundary instead of dying
+        # mid-epoch (resume with runtime.resume=<ckpt>). The reference relies
+        # on Lightning's last-epoch ckpt and loses partial epochs.
+        import signal
+
+        self._preempted = False
+
+        def _request_stop(signum, frame):
+            self._preempted = True
+
+        old_handlers = {}
+        for sig in (signal.SIGTERM, signal.SIGINT):
+            try:
+                old_handlers[sig] = signal.signal(sig, _request_stop)
+            except ValueError:  # not in the main thread
+                pass
+
+        try:
+            return self._fit_loop(cfg, rng, prefetch_to_device)
+        finally:
+            for sig, h in old_handlers.items():
+                signal.signal(sig, h)
+
+    def _fit_loop(self, cfg, rng, prefetch_to_device):
         profiled = False
         for epoch in range(cfg.train.epochs):
             t0 = time.time()
@@ -234,6 +259,10 @@ class Trainer:
                     self.state, metrics = self.train_step(self.state, images, labels, rng)
                 n_images += images.shape[0]
                 step = int(self.state.step)
+                if self._preempted:
+                    path = self.save(epoch)
+                    self._log({"preempted_at_step": step, "checkpoint": path})
+                    return self.state
                 if step % cfg.runtime.log_every == 0:
                     self._log(
                         {
