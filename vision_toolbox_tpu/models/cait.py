@@ -139,6 +139,17 @@ class CaiT(nn.Module):
 
         return nn.LayerNorm(self.norm_eps, dtype=self.dtype, name="norm")(cls[:, 0])
 
+    def init_variables(self, rng=0, img_size: int | None = None, dtype=None):
+        """Initialize parameters with a dummy NHWC batch (Backbone contract)."""
+        import jax as _jax
+        import jax.numpy as _jnp
+
+        if isinstance(rng, int):
+            rng = _jax.random.PRNGKey(rng)
+        size = img_size or self.img_size
+        dummy = _jnp.zeros((1, size, size, 3), dtype or _jnp.float32)
+        return self.init({"params": rng}, dummy, train=False)
+
     @property
     def last_out_channels(self) -> int:
         return self.d_model

@@ -84,6 +84,17 @@ class ViT(nn.Module):
             return pooler(norm(out), train=train)
         raise ValueError(f"unsupported pool_type {self.pool_type}")
 
+    def init_variables(self, rng=0, img_size: int | None = None, dtype=None):
+        """Initialize parameters with a dummy NHWC batch (Backbone contract)."""
+        import jax as _jax
+        import jax.numpy as _jnp
+
+        if isinstance(rng, int):
+            rng = _jax.random.PRNGKey(rng)
+        size = img_size or self.img_size
+        dummy = _jnp.zeros((1, size, size, 3), dtype or _jnp.float32)
+        return self.init({"params": rng}, dummy, train=False)
+
     @property
     def last_out_channels(self) -> int:
         return self.d_model
