@@ -119,6 +119,50 @@ SWIN_CKPTS = {
 }
 _S3_URL = "https://github.com/silent-chen/AutoFormer-model-zoo/releases/download/v1.0/"
 
+# torchvision IMAGENET1K_V1 checkpoints (the reference's extractor backbones
+# load these via pretrained=True, torchvision_models.py:23-55). NOTE: this
+# worker has no egress, so the URL hashes are recorded from the torchvision
+# registry but unverifiable here — tests/test_goldens.py validates them the
+# first time an egress-enabled environment runs scripts/make_goldens.py. A
+# checkpoint dropped into the cache dir (VTT_CACHE_DIR) by filename is used
+# without any download.
+_TORCHVISION_URL = "https://download.pytorch.org/models/"
+TORCHVISION_CKPTS = {
+    "resnet18": "resnet18-f37072fd.pth",
+    "resnet34": "resnet34-b627a593.pth",
+    "resnet50": "resnet50-0676ba61.pth",
+    "resnet101": "resnet101-63fe2227.pth",
+    "resnet152": "resnet152-394f9c45.pth",
+    "resnext50_32x4d": "resnext50_32x4d-7cdf4587.pth",
+    "resnext101_32x8d": "resnext101_32x8d-8ba56ff5.pth",
+    "wide_resnet50_2": "wide_resnet50_2-95faca4d.pth",
+    "wide_resnet101_2": "wide_resnet101_2-32ee1156.pth",
+    "mobilenet_v3_large": "mobilenet_v3_large-8738ca79.pth",
+    "mobilenet_v3_small": "mobilenet_v3_small-047dcff4.pth",
+    "efficientnet_b0": "efficientnet_b0_rwightman-3dd342df.pth",
+    "efficientnet_b1": "efficientnet_b1_rwightman-533bc792.pth",
+    "efficientnet_b2": "efficientnet_b2_rwightman-bcdf34b7.pth",
+    "efficientnet_b3": "efficientnet_b3_rwightman-cf984f9c.pth",
+    "efficientnet_b4": "efficientnet_b4_rwightman-7eb33cd5.pth",
+    "efficientnet_b5": "efficientnet_b5_lukemelas-b6417697.pth",
+    "efficientnet_b6": "efficientnet_b6_lukemelas-c76e70fd.pth",
+    "efficientnet_b7": "efficientnet_b7_lukemelas-dcc49843.pth",
+    "regnet_x_400mf": "regnet_x_400mf-adf1edd5.pth",
+    "regnet_x_800mf": "regnet_x_800mf-ad17e45c.pth",
+    "regnet_x_1_6gf": "regnet_x_1_6gf-e3633e7f.pth",
+    "regnet_x_3_2gf": "regnet_x_3_2gf-f342aeae.pth",
+    "regnet_x_8gf": "regnet_x_8gf-03ceed89.pth",
+    "regnet_x_16gf": "regnet_x_16gf-2007eb11.pth",
+    "regnet_x_32gf": "regnet_x_32gf-9d47f8d0.pth",
+    "regnet_y_400mf": "regnet_y_400mf-c65dace8.pth",
+    "regnet_y_800mf": "regnet_y_800mf-1b27b58c.pth",
+    "regnet_y_1_6gf": "regnet_y_1_6gf-b11a554e.pth",
+    "regnet_y_3_2gf": "regnet_y_3_2gf-b5a9779c.pth",
+    "regnet_y_8gf": "regnet_y_8gf-d0d0e4a8.pth",
+    "regnet_y_16gf": "regnet_y_16gf-9e6ed7dd.pth",
+    "regnet_y_32gf": "regnet_y_32gf-4dee3f7a.pth",
+}
+
 # official FB ConvNeXt v1 22k / v2 FCMAE (convnext.py:131-150)
 CONVNEXT_CKPTS = {
     "convnext_t": "convnext_tiny_22k_224.pth",
@@ -209,6 +253,19 @@ def load_pretrained(name: str, img_size: int = 224, weights: str | None = None, 
         base = _S3_URL if "s3" in name else _SWIN_URL
         sd = _official_sd(base + SWIN_CKPTS[name])
         return model, _as_jnp(ti.convert_swin(sd, model.depths))
+
+    if name in TORCHVISION_CKPTS:
+        model = create_backbone(name, **kwargs)
+        sd = _official_sd(_TORCHVISION_URL + TORCHVISION_CKPTS[name])
+        if name.startswith(("resnet", "resnext", "wide_resnet")):
+            tree = ti.convert_resnet(sd, model.depths, model.bottleneck)
+        elif name.startswith("mobilenet_v3"):
+            tree = ti.convert_mobilenet_v3(sd, model.config)
+        elif name.startswith("efficientnet"):
+            tree = ti.convert_efficientnet(sd, model._stages())
+        else:  # regnet x/y
+            tree = ti.convert_regnet(sd, model._stage_config, se=model.se_ratio is not None)
+        return model, _as_jnp(tree)
 
     if name.startswith("convnext"):
         import numpy as np

@@ -381,3 +381,140 @@ def convert_convnext(sd_raw: dict, depths, v2: bool = False) -> dict:
         params["norm"] = _ln(sd, "norm")
     _check_done(sd)
     return {"params": params}
+
+
+# ---------------------------------------------------------------------------
+# torchvision checkpoints (the reference's extractor backbones load these
+# implicitly via pretrained=True, torchvision_models.py:23-55)
+# ---------------------------------------------------------------------------
+
+
+def _tv_cna(sd: _SD, conv: str, bn: str) -> tuple[dict, dict]:
+    """torchvision Conv2d + BatchNorm2d pair → our ConvNormAct trees."""
+    params: dict = {"conv": {"kernel": conv_w(sd.pop(f"{conv}.weight"))}}
+    if sd.has(f"{conv}.bias"):
+        params["conv"]["bias"] = sd.pop(f"{conv}.bias")
+    params["norm"] = {"scale": sd.pop(f"{bn}.weight"), "bias": sd.pop(f"{bn}.bias")}
+    stats = {
+        "norm": {
+            "mean": sd.pop(f"{bn}.running_mean"),
+            "var": sd.pop(f"{bn}.running_var"),
+        }
+    }
+    return params, stats
+
+
+def _tv_se(sd: _SD, prefix: str) -> dict:
+    """torchvision SqueezeExcitation (fc1/fc2 are 1×1 Conv2d) → our SE."""
+    return {
+        "fc1": {"kernel": conv_w(sd.pop(f"{prefix}.fc1.weight")), "bias": sd.pop(f"{prefix}.fc1.bias")},
+        "fc2": {"kernel": conv_w(sd.pop(f"{prefix}.fc2.weight")), "bias": sd.pop(f"{prefix}.fc2.bias")},
+    }
+
+
+def convert_resnet(sd_raw: dict, depths, bottleneck: bool) -> dict:
+    """torchvision ResNet/ResNeXt/WideResNet → ours (models/resnet.py)."""
+    sd = _SD(sd_raw)
+    params: dict = {}
+    stats: dict = {}
+    params["stem"], stats["stem"] = _tv_cna(sd, "conv1", "bn1")
+    n_convs = 3 if bottleneck else 2
+    for i, depth in enumerate(depths):
+        for j in range(depth):
+            name = f"layer{i+1}_block{j}"
+            p = f"layer{i+1}.{j}"
+            bp: dict = {}
+            bs: dict = {}
+            for k in range(1, n_convs + 1):
+                bp[f"conv{k}"], bs[f"conv{k}"] = _tv_cna(sd, f"{p}.conv{k}", f"{p}.bn{k}")
+            if sd.has(f"{p}.downsample.0.weight"):
+                bp["downsample"], bs["downsample"] = _tv_cna(
+                    sd, f"{p}.downsample.0", f"{p}.downsample.1"
+                )
+            params[name] = bp
+            stats[name] = bs
+    _check_done(sd, ignore=("fc",))
+    return {"params": params, "batch_stats": stats}
+
+
+def _tv_mbconv(sd: _SD, p: str, has_expand: bool, has_se: bool) -> tuple[dict, dict]:
+    """torchvision MBConv (features.{i}.block list of Conv2dNormActivation /
+    SqueezeExcitation modules) → our MBConv (expand/dwconv/se/project)."""
+    bp: dict = {}
+    bs: dict = {}
+    k = 0
+    if has_expand:
+        bp["expand"], bs["expand"] = _tv_cna(sd, f"{p}.block.{k}.0", f"{p}.block.{k}.1")
+        k += 1
+    bp["dwconv"], bs["dwconv"] = _tv_cna(sd, f"{p}.block.{k}.0", f"{p}.block.{k}.1")
+    # depthwise torch kernel is (C, 1, kh, kw); conv_w gives (kh, kw, 1, C) ✓
+    k += 1
+    if has_se:
+        bp["se"] = _tv_se(sd, f"{p}.block.{k}")
+        k += 1
+    bp["project"], bs["project"] = _tv_cna(sd, f"{p}.block.{k}.0", f"{p}.block.{k}.1")
+    return bp, bs
+
+
+def convert_mobilenet_v3(sd_raw: dict, config) -> dict:
+    """torchvision MobileNetV3 → ours (models/mobilenet.py). ``config`` is the
+    model's (kernel, expanded, out, use_se, act, stride) table."""
+    sd = _SD(sd_raw)
+    params: dict = {}
+    stats: dict = {}
+    params["stem"], stats["stem"] = _tv_cna(sd, "features.0.0", "features.0.1")
+    in_ch = 16
+    for i, (_k, exp, out, use_se, _act, _s) in enumerate(config):
+        bp, bs = _tv_mbconv(sd, f"features.{i+1}", has_expand=exp != in_ch, has_se=use_se)
+        params[f"block_{i}"] = bp
+        stats[f"block_{i}"] = bs
+        in_ch = out
+    n = len(config) + 1
+    params["last_conv"], stats["last_conv"] = _tv_cna(sd, f"features.{n}.0", f"features.{n}.1")
+    _check_done(sd, ignore=("classifier",))
+    return {"params": params, "batch_stats": stats}
+
+
+def convert_efficientnet(sd_raw: dict, stages) -> dict:
+    """torchvision EfficientNet → ours (models/efficientnet.py). ``stages`` is
+    the scaled (expand_ratio, kernel, stride, out_channels, num_layers) table."""
+    sd = _SD(sd_raw)
+    params: dict = {}
+    stats: dict = {}
+    params["stem"], stats["stem"] = _tv_cna(sd, "features.0.0", "features.0.1")
+    for si, (expand, _k, _s, _ch, n) in enumerate(stages):
+        for j in range(n):
+            bp, bs = _tv_mbconv(
+                sd, f"features.{si+1}.{j}", has_expand=expand != 1, has_se=True
+            )
+            params[f"stage_{si}_block_{j}"] = bp
+            stats[f"stage_{si}_block_{j}"] = bs
+    n = len(stages) + 1
+    params["last_conv"], stats["last_conv"] = _tv_cna(sd, f"features.{n}.0", f"features.{n}.1")
+    _check_done(sd, ignore=("classifier",))
+    return {"params": params, "batch_stats": stats}
+
+
+def convert_regnet(sd_raw: dict, stage_config, se: bool) -> dict:
+    """torchvision RegNet X/Y → ours (models/regnet.py). ``stage_config`` is
+    [(width, num_blocks, group_width)] from RegNet._stage_config."""
+    sd = _SD(sd_raw)
+    params: dict = {}
+    stats: dict = {}
+    params["stem"], stats["stem"] = _tv_cna(sd, "stem.0", "stem.1")
+    for i, (_w, n, _g) in enumerate(stage_config):
+        for j in range(n):
+            p = f"trunk_output.block{i+1}.block{i+1}-{j}"
+            bp: dict = {}
+            bs: dict = {}
+            bp["conv1"], bs["conv1"] = _tv_cna(sd, f"{p}.f.a.0", f"{p}.f.a.1")
+            bp["conv2"], bs["conv2"] = _tv_cna(sd, f"{p}.f.b.0", f"{p}.f.b.1")
+            if se:
+                bp["se"] = _tv_se(sd, f"{p}.f.se")
+            bp["conv3"], bs["conv3"] = _tv_cna(sd, f"{p}.f.c.0", f"{p}.f.c.1")
+            if sd.has(f"{p}.proj.0.weight"):
+                bp["downsample"], bs["downsample"] = _tv_cna(sd, f"{p}.proj.0", f"{p}.proj.1")
+            params[f"stage_{i}_block_{j}"] = bp
+            stats[f"stage_{i}_block_{j}"] = bs
+    _check_done(sd, ignore=("fc",))
+    return {"params": params, "batch_stats": stats}
