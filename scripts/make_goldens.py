@@ -46,6 +46,14 @@ GOLDEN_SPECS = [
     ("swin_t", 224, {}),
     ("convnext_t", 224, {}),
     ("convnextv2_a", 224, {}),
+    # torchvision extractor-equivalents (also validates the URL hashes,
+    # which were recorded offline)
+    ("resnet50", 224, {}),
+    ("resnext50_32x4d", 224, {}),
+    ("mobilenet_v3_large", 224, {}),
+    ("efficientnet_b0", 224, {}),
+    ("regnet_y_400mf", 224, {}),
+    ("regnet_x_400mf", 224, {}),
 ]
 
 
