@@ -148,3 +148,41 @@ def test_preemption_checkpoint(tmp_path):
     cfg2.runtime.resume = pre[-1]["checkpoint"]
     trainer2 = Trainer(cfg2)
     assert int(trainer2.state.step) == step
+
+
+def test_validate_cli_without_val_dir(tmp_path, monkeypatch, capsys):
+    """`train.py validate` with no val data prints gracefully (ref CLI parity)."""
+    import sys
+    from pathlib import Path
+
+    import yaml
+    from PIL import Image
+
+    root = tmp_path / "data" / "class_a"
+    root.mkdir(parents=True)
+    Image.new("RGB", (48, 48), (128, 60, 200)).save(root / "0.jpg")
+    Image.new("RGB", (48, 48), (30, 160, 99)).save(root / "1.jpg")
+
+    cfg = {
+        "model": {"backbone": "darknet19", "num_classes": 2, "bf16": False},
+        "data": {
+            "train_dir": str(tmp_path / "data"),
+            "batch_size": 2,
+            "train_crop_size": 32,
+            "trivial_augment": False,
+            "random_erasing_p": 0.0,
+            "num_workers": 1,
+        },
+        "train": {"epochs": 1, "warmup_epochs": 1},
+        "runtime": {"out_dir": str(tmp_path / "out")},
+    }
+    cfg_path = tmp_path / "cfg.yaml"
+    yaml.safe_dump(cfg, open(cfg_path, "w"))
+
+    sys.path.insert(0, str(Path(__file__).parent.parent))
+    import train as train_cli
+
+    monkeypatch.setattr(sys, "argv", ["train.py", "validate", "--config", str(cfg_path)])
+    train_cli.main()  # must not raise
+    out = capsys.readouterr().out
+    assert "no validation data" in out
