@@ -68,6 +68,37 @@ def test_multi_device_train_step(setup):
     assert int(state3.step) == 2
 
 
+def test_sharded_step_equals_single_device(setup):
+    """The 8-way sharded step must produce the SAME updated parameters as an
+    unsharded single-device step on the identical global batch + rng —
+    data-parallelism is an implementation detail, not a semantics change."""
+    _, state0 = setup
+    images = jax.random.uniform(jax.random.PRNGKey(7), (16, 32, 32, 3))
+    labels = jax.random.randint(jax.random.PRNGKey(8), (16,), 0, NUM_CLASSES)
+    rng = jax.random.PRNGKey(9)
+    train_step = make_train_step(NUM_CLASSES)
+
+    mesh = create_mesh(("data",))
+    sharded = shard_train_step(train_step, mesh)
+    s_img, s_lab = shard_batch((images, labels), mesh)
+    state_a, metrics_a = sharded(_copy_state(state0), s_img, s_lab, rng)
+
+    single = jax.jit(train_step)
+    state_b, metrics_b = single(_copy_state(state0), images, labels, rng)
+
+    np.testing.assert_allclose(float(metrics_a["loss"]), float(metrics_b["loss"]), rtol=1e-5)
+    flat_a = jax.tree_util.tree_leaves(state_a.params)
+    flat_b = jax.tree_util.tree_leaves(state_b.params)
+    # differences are reduction-order float noise through the backward
+    for a, b in zip(flat_a, flat_b):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-4)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(state_a.batch_stats),
+        jax.tree_util.tree_leaves(state_b.batch_stats),
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-5)
+
+
 def test_train_step_with_stochastic_depth():
     """rng threading through drop-path + LayerScale models (deit3) under the
     sharded step."""
