@@ -123,3 +123,39 @@ def test_full_op_jits_and_preserves_range():
         assert out.shape == images.shape
         assert float(out.min()) >= -1e-5
         assert float(out.max()) <= 1.0 + 1e-5
+
+
+def test_gathered_heavy_ops_match_full_path():
+    """The fixed-capacity gather path for sharpness/equalize (used when the
+    batch is large enough that computing them full-batch would dominate TA
+    cost) produces the same images as the branchless full-batch path."""
+    from vision_toolbox_tpu.ops.trivial_augment import _apply_pixel_ops, _subset_capacity
+
+    B = 64
+    images = _rand_images(B, 16, seed=7)
+    rng = np.random.default_rng(8)
+    op = jnp.asarray(rng.integers(0, NUM_OPS, (B,)), jnp.int32)
+    mag01 = jnp.asarray(rng.random((B,), dtype=np.float32))
+    signed = mag01 * jnp.asarray(np.where(rng.random(B) < 0.5, 1.0, -1.0), jnp.float32)
+
+    k = _subset_capacity(B, 2)
+    assert k < B, "test batch must exercise the gather path"
+    full = _apply_pixel_ops(images, op, mag01, signed, capacity=B)
+    gathered = _apply_pixel_ops(images, op, mag01, signed, capacity=None)
+    np.testing.assert_allclose(np.asarray(gathered), np.asarray(full), atol=1e-6)
+
+
+def test_gathered_path_overflow_degrades_to_identity():
+    """If more images draw a pooled heavy op than the gather capacity, the
+    overflow images keep their (post-warp) pixels instead of erroring."""
+    from vision_toolbox_tpu.ops.trivial_augment import _apply_pixel_ops
+
+    B = 16
+    images = _rand_images(B, 8, seed=9)
+    op = jnp.full((B,), OP_EQUALIZE, jnp.int32)  # all 16 draw equalize
+    mag01 = jnp.zeros((B,))
+    out = _apply_pixel_ops(images, op, mag01, mag01, capacity=8)
+    eq = _apply_pixel_ops(images, op, mag01, mag01, capacity=B)
+    # first 8 (stable argsort order) equalized, rest untouched
+    np.testing.assert_allclose(np.asarray(out[:8]), np.asarray(eq[:8]), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(out[8:]), np.asarray(images[8:]), atol=1e-6)

@@ -41,15 +41,35 @@ def canvas_size(h: int) -> int:
     return s
 
 
+def _pass2_slab(S: int, P: int, H: int) -> tuple[int, int]:
+    """Row range (in transposed space = canvas columns) pass 2 must process.
+
+    Only canvas columns that pass 3 / the final crop can read matter: the
+    crop reads cols [P, P+H); pass 3 (x-shear, |p3| ≤ tan 22.5° over output
+    rows |y−c| ≤ (H+1)/2) reaches ±(tan22.5°·(H+1)/2 + 2) further."""
+    reach = int(0.4143 * (H + 1) / 2) + 3
+    lo = max(0, (P - reach) // 8 * 8)
+    hi = min(S, -((P + H + reach) // -8) * 8)
+    return lo, hi
+
+
 def _roll_lanes(a: jax.Array, s: int, size: int) -> jax.Array:
     """roll(a, s)[.., x] = a[.., (x - s) % size] via two static lane slices."""
     return jnp.concatenate([a[:, size - s :], a[:, : size - s]], axis=1)
 
 
-def _shear_pass(a: jax.Array, p, t, S: int) -> jax.Array:
-    """out[y, x] = bilinear( a[y, x + p·(y−c) + t] ), zero outside [0, S)."""
-    ys = jax.lax.broadcasted_iota(jnp.int32, (S, 1), 0).astype(jnp.float32) - (S - 1) / 2.0
-    delta = p * ys + t  # (S, 1)
+def _shear_pass(a: jax.Array, p, t, S: int, row0: int = 0) -> jax.Array:
+    """out[y, x] = bilinear( a[y, x + p·(y+row0−c) + t] ), zero outside [0, S).
+
+    ``a`` may be a row slab of the canvas starting at canvas row ``row0``;
+    lanes always span the full canvas width S."""
+    R = a.shape[0]
+    ys = (
+        jax.lax.broadcasted_iota(jnp.int32, (R, 1), 0).astype(jnp.float32)
+        + row0
+        - (S - 1) / 2.0
+    )
+    delta = p * ys + t  # (R, 1)
     k = jnp.floor(delta)
     f = (delta - k).astype(a.dtype)
     ki = k.astype(jnp.int32)
@@ -59,7 +79,7 @@ def _shear_pass(a: jax.Array, p, t, S: int) -> jax.Array:
         a = jnp.where((kneg & bit) != 0, _roll_lanes(a, bit, S), a)
         bit *= 2
     a2 = _roll_lanes(a, S - 1, S)  # second tap: src + 1
-    xs = jax.lax.broadcasted_iota(jnp.int32, (S, S), 1)
+    xs = jax.lax.broadcasted_iota(jnp.int32, (R, S), 1)
     src = xs + ki
     tap1 = jnp.where((src >= 0) & (src < S), a, 0.0)
     tap2 = jnp.where((src + 1 >= 0) & (src + 1 < S), a2, 0.0)
@@ -85,17 +105,26 @@ def _warp_kernel(flags_ref, coef_ref, x_ref, out_ref, cv, *, S, P, H, W):
         flip0 = jnp.dot(rev, t, preferred_element_type=jnp.float32)  # flip axis 0
         cv[:] = jnp.where(k90 == 1, flip1, flip0)
 
+    # Slab trimming: each 1-D pass only processes the canvas rows that can
+    # still influence the final [P, P+H) crop — pass 1 and 3 touch only the
+    # content/output rows [P, P+H); pass 2 (canvas columns, via transpose)
+    # only the columns within pass 3's shear reach of the crop. Rows outside
+    # a slab hold zero or never-read content. ~2× less VPU work at 176px.
+    lo2, hi2 = _pass2_slab(S, P, H)
+
     @pl.when(flags_ref[b, 1] != 0)
     def _():
-        cv[:] = _shear_pass(cv[:], coef_ref[b, 0], coef_ref[b, 1], S)
+        cv[P : P + H] = _shear_pass(cv[P : P + H], coef_ref[b, 0], coef_ref[b, 1], S, row0=P)
 
     @pl.when(flags_ref[b, 2] != 0)
     def _():
-        cv[:] = _shear_pass(cv[:].T, coef_ref[b, 2], coef_ref[b, 3], S).T
+        t = cv[:].T
+        slab = _shear_pass(t[lo2:hi2], coef_ref[b, 2], coef_ref[b, 3], S, row0=lo2)
+        cv[:] = jnp.concatenate([t[:lo2], slab, t[hi2:]], axis=0).T
 
     @pl.when(flags_ref[b, 3] != 0)
     def _():
-        cv[:] = _shear_pass(cv[:], coef_ref[b, 4], 0.0, S)
+        cv[P : P + H] = _shear_pass(cv[P : P + H], coef_ref[b, 4], 0.0, S, row0=P)
 
     out_ref[0, 0] = cv[P : P + H, P : P + W]
 
