@@ -75,6 +75,14 @@ class RuntimeConfig:
     checkpoint_every_epochs: int = 1
     resume: str | None = None
     mesh_axes: tuple[str, ...] = ("data",)
+    # explicit mesh layout, e.g. {"data": 4, "model": 2}; None = 1-D data mesh
+    # over all devices (mesh_axes). Axis-size product must equal device count.
+    mesh_shape: dict | None = None
+    # parameter placement: "replicated" (DDP-style), "tp" (big 2-D kernels
+    # column-sharded over the "model" axis), or "fsdp" (ZeRO-3: every large
+    # param sharded over the data axis, all-gathered at use)
+    param_sharding: str = "replicated"
+    sharding_min_size: int = 65536  # params smaller than this stay replicated
     profile_steps: int = 0  # capture a jax.profiler trace of N train steps
 
 

@@ -43,7 +43,13 @@ class SyntheticData:
 class Trainer:
     def __init__(self, cfg: Config):
         self.cfg = cfg
-        self.mesh = create_mesh(cfg.runtime.mesh_axes)
+        if cfg.runtime.mesh_shape:
+            self.mesh = create_mesh(
+                tuple(cfg.runtime.mesh_shape.keys()),
+                tuple(int(v) for v in cfg.runtime.mesh_shape.values()),
+            )
+        else:
+            self.mesh = create_mesh(cfg.runtime.mesh_axes)
         compute_dtype = jnp.bfloat16 if cfg.model.bf16 else jnp.float32
         backbone = create_backbone(
             cfg.model.backbone, dtype=compute_dtype, **cfg.model.backbone_kwargs
@@ -122,6 +128,24 @@ class Trainer:
 
             self.state = restore_train_state(cfg.runtime.resume, self.state)
             print(f"resumed from {cfg.runtime.resume} at step {int(self.state.step)}")
+
+        # TP / FSDP parameter placement (beyond the reference's DP-only story):
+        # commit shardings with device_put AFTER any resume so restored params
+        # get placed too; GSPMD propagates them through the jitted step.
+        if cfg.runtime.param_sharding != "replicated":
+            if cfg.runtime.param_sharding not in ("tp", "fsdp"):
+                raise ValueError(
+                    f"runtime.param_sharding must be replicated|tp|fsdp, "
+                    f"got {cfg.runtime.param_sharding!r}"
+                )
+            from ..parallel.sharding import shard_train_state
+
+            self.state = shard_train_state(
+                self.state,
+                self.mesh,
+                fsdp=cfg.runtime.param_sharding == "fsdp",
+                min_size=cfg.runtime.sharding_min_size,
+            )
 
     # ------------------------------------------------------------------
     def _build_data(self):
