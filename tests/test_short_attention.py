@@ -1,0 +1,76 @@
+"""Short-sequence fused attention (ops/short_attention.py) vs the XLA oracle:
+forward and all three gradients, both the (BN, T, H) and packed (B, T, N·H)
+variants, self- and cross-attention, ragged group sizes.
+
+These run the Pallas kernels in interpret mode on CPU — the same algorithm
+the TPU executes (bit-level agreement verified on-chip for the warp kernel;
+attention agreement is within bf16 noise there, see ops docs)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from vision_toolbox_tpu.ops.short_attention import (
+    _pick_group,
+    short_attention,
+    short_attention_packed,
+    use_short,
+)
+
+
+def _qkv(B, T, N, H, S=None, seed=0):
+    S = T if S is None else S
+    ks = jax.random.split(jax.random.PRNGKey(seed), 3)
+    q = jax.random.normal(ks[0], (B, T, N, H), jnp.float32)
+    k = jax.random.normal(ks[1], (B, S, N, H), jnp.float32)
+    v = jax.random.normal(ks[2], (B, S, N, H), jnp.float32)
+    return q, k, v
+
+
+def _ref(q, k, v):
+    return jax.nn.dot_product_attention(q, k, v)
+
+
+@pytest.mark.parametrize("fn,group", [(short_attention, 4), (short_attention_packed, 2)])
+def test_forward_matches_xla(fn, group):
+    q, k, v = _qkv(4, 37, 6, 16)
+    out = fn(q, k, v, group=group)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(_ref(q, k, v)), atol=2e-6)
+
+
+@pytest.mark.parametrize("fn,group", [(short_attention, 4), (short_attention_packed, 2)])
+def test_grads_match_xla(fn, group):
+    q, k, v = _qkv(3, 25, 4, 8, seed=1)
+    w = jnp.cos(jnp.arange(8))
+
+    ga = jax.grad(lambda q, k, v: (fn(q, k, v, group=group) * w).sum(), argnums=(0, 1, 2))(q, k, v)
+    gb = jax.grad(lambda q, k, v: (_ref(q, k, v) * w).sum(), argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(ga, gb):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-6)
+
+
+def test_cross_attention_t_ne_s():
+    q, k, v = _qkv(2, 19, 4, 16, S=7, seed=2)
+    out = short_attention_packed(q, k, v, group=2)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(_ref(q, k, v)), atol=2e-6)
+
+
+def test_vit_shape_smoke():
+    """The production dispatch shape (scaled down): T=197-like odd lengths."""
+    q, k, v = _qkv(2, 197, 2, 32, seed=3)
+    out = short_attention_packed(q, k, v, group=1)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(_ref(q, k, v)), atol=2e-6)
+
+
+def test_pick_group():
+    assert _pick_group(1536, 16) == 16
+    assert _pick_group(12, 16) == 12
+    assert _pick_group(7, 4) == 1  # prime: degrades to per-pair programs
+    assert _pick_group(6, 4) == 3
+
+
+def test_dispatch_rule_off_cpu():
+    # CPU backend in tests: dispatch must stay on XLA
+    assert not use_short(197, 197, 64, 1536)

@@ -30,8 +30,15 @@ def dot_product_attention(
     """
     if dropout_rate == 0.0:
         from .flash_attention import flash_attention, use_pallas
+        from .short_attention import short_attention_packed, use_short
 
-        if use_pallas(q.shape[-3]):
+        B, T, N, H = q.shape
+        if bias is None and use_short(T, k.shape[1], H, B * N):
+            # vision-shaped attention: tiny T, many (batch·head) pairs —
+            # whole score matrix in VMEM, operands in the projections'
+            # natural packed layout (ops/short_attention.py)
+            return short_attention_packed(q, k, v)
+        if use_pallas(T):
             return flash_attention(q, k, v, bias=bias)
         return jax.nn.dot_product_attention(q, k, v, bias=bias)
     # manual path with attention dropout (ref vit.py:41-44 fallback)

@@ -1,0 +1,343 @@
+"""Fused short-sequence attention — the Pallas kernel vision models actually
+need on TPU.
+
+Vision transformers run attention at tiny sequence lengths (ViT-B/16@224:
+T=197) with a large batch×heads pair count (bs128 × 12 heads = 1536 pairs).
+The XLA path (jax.nn.dot_product_attention) materializes the (BN, T, S)
+logits and probs in HBM in both passes — measured ~4.5 ms true per ViT-B
+block fwd+bwd at bs128@224 on v5e, ~47% of the whole train step. The
+long-sequence flash kernel (ops/flash_attention.py) amortizes badly here:
+1536 single-block grid programs cost more than they save (measured 16 ms
+fwd+bwd vs XLA's 6.6 at T=197).
+
+This kernel processes ``group`` (batch·head) pairs per grid program with the
+WHOLE (T, S) score matrix living in VMEM — at T ≤ 512 there is no need for a
+running softmax at all. HBM traffic is exactly q/k/v in + o out. The
+backward recomputes the probs in VMEM (FlashAttention-style recompute,
+without the online part) and emits dq/dk/dv in one pass.
+
+Replacement target: the reference's F.scaled_dot_product_attention training
+path (/root/reference/vision_toolbox/backbones/vit.py:38-39).
+
+No-bias self/cross attention only: Swin's biased windows would need a
+broadcast-aware dbias reduction — they stay on XLA (see ops/attention.py).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+MAX_SHORT_SEQ = 512
+
+
+def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float):
+    G = q_ref.shape[0]
+
+    def body(g, _):
+        q = q_ref[g].astype(jnp.float32) * scale  # (T, H)
+        k = k_ref[g].astype(jnp.float32)  # (S, H)
+        logits = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )  # (T, S)
+        m = jnp.max(logits, axis=-1, keepdims=True)
+        e = jnp.exp(logits - m)
+        p = e / jnp.sum(e, axis=-1, keepdims=True)
+        o_ref[g] = jnp.dot(
+            p, v_ref[g].astype(jnp.float32), preferred_element_type=jnp.float32
+        ).astype(o_ref.dtype)
+        return 0
+
+    jax.lax.fori_loop(0, G, body, 0)
+
+
+def _bwd_kernel(q_ref, k_ref, v_ref, g_ref, dq_ref, dk_ref, dv_ref, *, scale: float):
+    G = q_ref.shape[0]
+
+    def body(g, _):
+        qs = q_ref[g].astype(jnp.float32) * scale  # (T, H), pre-scaled
+        k = k_ref[g].astype(jnp.float32)  # (S, H)
+        v = v_ref[g].astype(jnp.float32)  # (S, H)
+        go = g_ref[g].astype(jnp.float32)  # (T, H)
+        logits = jax.lax.dot_general(
+            qs, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        m = jnp.max(logits, axis=-1, keepdims=True)
+        e = jnp.exp(logits - m)
+        p = e / jnp.sum(e, axis=-1, keepdims=True)  # (T, S)
+        # dv = pᵀ @ go ; dp = go @ vᵀ ; ds = p ∘ (dp − Σ(dp∘p)) ; dq = ds@k·s ; dk = dsᵀ@q·s
+        dv_ref[g] = jax.lax.dot_general(
+            p, go, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        ).astype(dv_ref.dtype)  # (S, H)
+        dp = jax.lax.dot_general(
+            go, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )  # (T, S)
+        ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+        dq_ref[g] = (
+            jnp.dot(ds, k, preferred_element_type=jnp.float32) * scale
+        ).astype(dq_ref.dtype)
+        dk_ref[g] = jax.lax.dot_general(
+            ds, qs, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        ).astype(dk_ref.dtype)
+        return 0
+
+    jax.lax.fori_loop(0, G, body, 0)
+
+
+def _pick_group(bn: int, group: int) -> int:
+    g = min(group, bn)
+    while bn % g:
+        g -= 1
+    return g
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _short_attention_flat(q, k, v, group: int, interpret: bool):
+    out, _ = _short_attention_fwd(q, k, v, group, interpret)
+    return out
+
+
+def _short_attention_fwd(q, k, v, group: int, interpret: bool):
+    BN, T, H = q.shape
+    S = k.shape[1]
+    G = _pick_group(BN, group)
+    grid = (BN // G,)
+    out = pl.pallas_call(
+        functools.partial(_fwd_kernel, scale=H**-0.5),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((G, T, H), lambda i: (i, 0, 0)),
+            pl.BlockSpec((G, S, H), lambda i: (i, 0, 0)),
+            pl.BlockSpec((G, S, H), lambda i: (i, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((G, T, H), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((BN, T, H), q.dtype),
+        interpret=interpret,
+    )(q, k, v)
+    return out, (q, k, v)
+
+
+def _short_attention_bwd(group: int, interpret: bool, res, g):
+    q, k, v = res
+    BN, T, H = q.shape
+    S = k.shape[1]
+    G = _pick_group(BN, group)
+    grid = (BN // G,)
+    dq, dk, dv = pl.pallas_call(
+        functools.partial(_bwd_kernel, scale=H**-0.5),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((G, T, H), lambda i: (i, 0, 0)),
+            pl.BlockSpec((G, S, H), lambda i: (i, 0, 0)),
+            pl.BlockSpec((G, S, H), lambda i: (i, 0, 0)),
+            pl.BlockSpec((G, T, H), lambda i: (i, 0, 0)),
+        ],
+        out_specs=(
+            pl.BlockSpec((G, T, H), lambda i: (i, 0, 0)),
+            pl.BlockSpec((G, S, H), lambda i: (i, 0, 0)),
+            pl.BlockSpec((G, S, H), lambda i: (i, 0, 0)),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((BN, T, H), q.dtype),
+            jax.ShapeDtypeStruct((BN, S, H), k.dtype),
+            jax.ShapeDtypeStruct((BN, S, H), v.dtype),
+        ),
+        interpret=interpret,
+    )(q, k, v, g)
+    return dq, dk, dv
+
+
+_short_attention_flat.defvjp(_short_attention_fwd, _short_attention_bwd)
+
+
+def short_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    group: int = 16,
+    interpret: bool | None = None,
+) -> jax.Array:
+    """Fused short-sequence attention on (B, T, N, H); scale = H**-0.5."""
+    B, T, N, H = q.shape
+    S = k.shape[1]
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    qf = q.transpose(0, 2, 1, 3).reshape(B * N, T, H)
+    kf = k.transpose(0, 2, 1, 3).reshape(B * N, S, H)
+    vf = v.transpose(0, 2, 1, 3).reshape(B * N, S, H)
+    out = _short_attention_flat(qf, kf, vf, group, interpret)
+    return out.reshape(B, N, T, H).transpose(0, 2, 1, 3)
+
+
+# ---------------------------------------------------------------------------
+# Packed-layout variant: operands stay in the projections' natural (B, T, N·H)
+# layout (a FREE reshape from (B, T, N, H) — adjacent dims), heads are split
+# by static lane slices inside VMEM. The (BN, T, H) variant above relayouts
+# q/k/v (and the backward residuals) through HBM — measured ~1.3 ms/block at
+# ViT-B bs128, which erases the kernel's win; this variant has zero HBM
+# relayout.
+# ---------------------------------------------------------------------------
+
+
+def _packed_fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, n_heads: int):
+    Gb = q_ref.shape[0]
+    D = q_ref.shape[-1]
+    H = D // n_heads
+
+    for g in range(Gb):  # static: Gb is small (1-4 images per program)
+        q = q_ref[g].astype(jnp.float32) * scale  # (T, D)
+        k = k_ref[g].astype(jnp.float32)
+        v = v_ref[g].astype(jnp.float32)
+        outs = []
+        for h in range(n_heads):
+            sl = slice(h * H, (h + 1) * H)
+            logits = jax.lax.dot_general(
+                q[:, sl], k[:, sl], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (T, S)
+            mx = jnp.max(logits, axis=-1, keepdims=True)
+            e = jnp.exp(logits - mx)
+            p = e / jnp.sum(e, axis=-1, keepdims=True)
+            outs.append(jnp.dot(p, v[:, sl], preferred_element_type=jnp.float32))
+        o_ref[g] = jnp.concatenate(outs, axis=1).astype(o_ref.dtype)
+
+
+def _packed_bwd_kernel(
+    q_ref, k_ref, v_ref, g_ref, dq_ref, dk_ref, dv_ref, *, scale: float, n_heads: int
+):
+    Gb = q_ref.shape[0]
+    D = q_ref.shape[-1]
+    H = D // n_heads
+
+    for g in range(Gb):
+        q = q_ref[g].astype(jnp.float32) * scale
+        k = k_ref[g].astype(jnp.float32)
+        v = v_ref[g].astype(jnp.float32)
+        go = g_ref[g].astype(jnp.float32)
+        dqs, dks, dvs = [], [], []
+        for h in range(n_heads):
+            sl = slice(h * H, (h + 1) * H)
+            qs, kh, vh, gh = q[:, sl], k[:, sl], v[:, sl], go[:, sl]
+            logits = jax.lax.dot_general(
+                qs, kh, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            )
+            mx = jnp.max(logits, axis=-1, keepdims=True)
+            e = jnp.exp(logits - mx)
+            p = e / jnp.sum(e, axis=-1, keepdims=True)
+            dvs.append(
+                jax.lax.dot_general(
+                    p, gh, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+                )
+            )
+            dp = jax.lax.dot_general(
+                gh, vh, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            )
+            ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+            dqs.append(jnp.dot(ds, kh, preferred_element_type=jnp.float32) * scale)
+            dks.append(
+                jax.lax.dot_general(
+                    ds, qs, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+                )
+            )
+        dq_ref[g] = jnp.concatenate(dqs, axis=1).astype(dq_ref.dtype)
+        dk_ref[g] = jnp.concatenate(dks, axis=1).astype(dk_ref.dtype)
+        dv_ref[g] = jnp.concatenate(dvs, axis=1).astype(dv_ref.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _packed_attention(q, k, v, n_heads: int, group: int, interpret: bool):
+    out, _ = _packed_attention_fwd(q, k, v, n_heads, group, interpret)
+    return out
+
+
+def _packed_specs(B, T, S, D, G):
+    return (
+        [
+            pl.BlockSpec((G, T, D), lambda i: (i, 0, 0)),
+            pl.BlockSpec((G, S, D), lambda i: (i, 0, 0)),
+            pl.BlockSpec((G, S, D), lambda i: (i, 0, 0)),
+        ],
+        pl.BlockSpec((G, T, D), lambda i: (i, 0, 0)),
+    )
+
+
+def _packed_attention_fwd(q, k, v, n_heads: int, group: int, interpret: bool):
+    B, T, D = q.shape
+    S = k.shape[1]
+    G = _pick_group(B, group)
+    in_specs, out_spec = _packed_specs(B, T, S, D, G)
+    out = pl.pallas_call(
+        functools.partial(_packed_fwd_kernel, scale=(D // n_heads) ** -0.5, n_heads=n_heads),
+        grid=(B // G,),
+        in_specs=in_specs,
+        out_specs=out_spec,
+        out_shape=jax.ShapeDtypeStruct((B, T, D), q.dtype),
+        interpret=interpret,
+    )(q, k, v)
+    return out, (q, k, v)
+
+
+def _packed_attention_bwd(n_heads: int, group: int, interpret: bool, res, g):
+    q, k, v = res
+    B, T, D = q.shape
+    S = k.shape[1]
+    G = _pick_group(B, group)
+    in_specs, out_spec = _packed_specs(B, T, S, D, G)
+    kv_spec = pl.BlockSpec((G, S, D), lambda i: (i, 0, 0))
+    dq, dk, dv = pl.pallas_call(
+        functools.partial(_packed_bwd_kernel, scale=(D // n_heads) ** -0.5, n_heads=n_heads),
+        grid=(B // G,),
+        in_specs=in_specs + [pl.BlockSpec((G, T, D), lambda i: (i, 0, 0))],
+        out_specs=(out_spec, kv_spec, kv_spec),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, T, D), q.dtype),
+            jax.ShapeDtypeStruct((B, S, D), k.dtype),
+            jax.ShapeDtypeStruct((B, S, D), v.dtype),
+        ),
+        interpret=interpret,
+    )(q, k, v, g)
+    return dq, dk, dv
+
+
+_packed_attention.defvjp(_packed_attention_fwd, _packed_attention_bwd)
+
+
+def short_attention_packed(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    group: int = 2,
+    interpret: bool | None = None,
+) -> jax.Array:
+    """Fused short-sequence attention on (B, T, N, H) via the packed (B, T,
+    N·H) layout — no HBM relayout of operands or residuals."""
+    B, T, N, H = q.shape
+    S = k.shape[1]
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    out = _packed_attention(
+        q.reshape(B, T, N * H),
+        k.reshape(B, S, N * H),
+        v.reshape(B, S, N * H),
+        N,
+        group,
+        interpret,
+    )
+    return out.reshape(B, T, N, H)
+
+
+def use_short(t: int, s: int, h: int, n_pairs: int) -> bool:
+    """Dispatch rule: whole-matrix-in-VMEM kernel for short unbiased
+    attention on TPU — measured 1.8× over XLA fwd+bwd standalone at ViT-B
+    shapes (T=197, 1536 pairs, v5e; packed layout). Needs enough pairs
+    that grid programs amortize."""
+    return (
+        jax.default_backend() == "tpu"
+        and 2 <= t <= MAX_SHORT_SEQ
+        and 2 <= s <= MAX_SHORT_SEQ
+        and h <= 128
+        and n_pairs >= 64
+    )
