@@ -81,3 +81,36 @@ def test_norm_params_skip_decay():
     # kernel decays, norm scale doesn't
     assert float(jnp.abs(updates["w"]["kernel"]).max()) > 0
     assert float(jnp.abs(updates["norm"]["scale"]).max()) == 0
+
+
+def test_grad_accum_matches_mean_gradient():
+    """optax.MultiSteps composed with the masked per-group decay chain: two
+    accumulated micro-steps must equal one step on the mean gradient."""
+    import optax
+
+    from vision_toolbox_tpu.train.optim import make_optimizer
+
+    params = {
+        "conv": {"kernel": jnp.ones((3, 3)), "bias": jnp.zeros((3,))},
+        "norm": {"scale": jnp.ones((3,)), "bias": jnp.zeros((3,))},
+    }
+    rng = np.random.default_rng(0)
+    g1 = jax.tree_util.tree_map(lambda p: jnp.asarray(rng.standard_normal(p.shape), jnp.float32), params)
+    g2 = jax.tree_util.tree_map(lambda p: jnp.asarray(rng.standard_normal(p.shape), jnp.float32), params)
+
+    tx = make_optimizer("sgd", params, 0.1, momentum=0.9, weight_decay=1e-2)
+    ref_state = tx.init(params)
+    mean_g = jax.tree_util.tree_map(lambda a, b: (a + b) / 2.0, g1, g2)
+    ref_updates, _ = tx.update(mean_g, ref_state, params)
+    ref_params = optax.apply_updates(params, ref_updates)
+
+    tx2 = make_optimizer("sgd", params, 0.1, momentum=0.9, weight_decay=1e-2)
+    mtx = optax.MultiSteps(tx2, every_k_schedule=2).gradient_transformation()
+    state = mtx.init(params)
+    p = params
+    for g in (g1, g2):
+        updates, state = mtx.update(g, state, p)
+        p = optax.apply_updates(p, updates)
+
+    for a, b in zip(jax.tree_util.tree_leaves(p), jax.tree_util.tree_leaves(ref_params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)

@@ -224,3 +224,15 @@ def test_fit_with_fsdp_sharding(tmp_path):
     assert sharded, "expected at least one FSDP-sharded parameter"
     state = trainer.fit()
     assert int(state.step) == 10
+
+
+def test_fit_with_grad_accumulation(tmp_path):
+    """train.grad_accum_steps=2: fit runs, all micro-steps count, the
+    schedule advances per optimizer step."""
+    cfg = _smoke_cfg(tmp_path, grad_accum_steps=2)
+    trainer = Trainer(cfg)
+    assert trainer.grad_accum == 2
+    state = trainer.fit()
+    assert int(state.step) == 10  # micro-steps
+    lines = [json.loads(l) for l in open(os.path.join(cfg.runtime.out_dir, "metrics.jsonl"))]
+    assert any("train/loss" in l for l in lines)

@@ -66,6 +66,10 @@ class TrainConfig:
     warmup_factor: float = 0.01
     decay_factor: float = 0.0
     seed: int = 0
+    # average k micro-batch gradients into one optimizer step (optax
+    # MultiSteps); effective batch = batch_size * k. BN statistics still
+    # update per micro-batch (standard accumulation semantics).
+    grad_accum_steps: int = 1
 
 
 @dataclass

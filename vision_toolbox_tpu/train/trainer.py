@@ -80,11 +80,15 @@ class Trainer:
         variables = self.model.init(
             {"params": rng}, jnp.zeros((1, img, img, 3)), train=False
         )
+        # gradient accumulation: k micro-batches average into one optimizer
+        # step (beyond-reference; lets small slices run the big-batch recipe).
+        # The schedule advances per OPTIMIZER step, so scale steps/epoch down.
+        self.grad_accum = max(1, cfg.train.grad_accum_steps)
         # linear LR scaling: lr @ batch 1024 (README.md:85)
         schedule = warmup_cosine_schedule(
             cfg.train.lr,
             cfg.train.epochs,
-            self.steps_per_epoch,
+            max(1, self.steps_per_epoch // self.grad_accum),
             cfg.train.warmup_epochs,
             cfg.train.warmup_factor,
             cfg.train.decay_factor,
@@ -99,6 +103,10 @@ class Trainer:
             norm_weight_decay=cfg.train.norm_weight_decay,
             bias_weight_decay=cfg.train.bias_weight_decay,
         )
+        if self.grad_accum > 1:
+            import optax
+
+            tx = optax.MultiSteps(tx, every_k_schedule=self.grad_accum).gradient_transformation()
         self.state = TrainState.create(self.model.apply, variables, tx)
 
         self.train_step = shard_train_step(
@@ -293,7 +301,7 @@ class Trainer:
                             "epoch": epoch,
                             "step": step,
                             "train/loss": metrics["loss"],
-                            "lr": float(self.schedule(step)),
+                            "lr": float(self.schedule(step // self.grad_accum)),
                         }
                     )
             dt = time.time() - t0
