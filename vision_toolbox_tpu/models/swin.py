@@ -104,10 +104,11 @@ class WindowAttention(nn.Module):
         # (1, 1, n_heads, w², w²)
         attn_bias = table[:, None, :, :][..., index].astype(x.dtype)
 
+        shift_mask = None
         if shift > 0:
             x = jnp.roll(x, (-shift, -shift), axis=(1, 2))
-            mask = jnp.asarray(_shift_attn_mask(self.input_size, w, shift), x.dtype)
-            attn_bias = attn_bias + mask[None, :, None, :, :]  # (1, nW, 1, w², w²)
+            shift_mask = jnp.asarray(_shift_attn_mask(self.input_size, w, shift), x.dtype)
+            attn_bias = attn_bias + shift_mask[None, :, None, :, :]  # (1, nW, 1, w², w²)
 
         windows = window_partition(x, w)  # (B, nW, w², C)
         dense = lambda feats, name: nn.Dense(
@@ -116,19 +117,33 @@ class WindowAttention(nn.Module):
             name=name,
         )
         head_dim = self.d_model // self.n_heads
-        shp = windows.shape[:-1] + (self.n_heads, head_dim)
-        q = dense(self.d_model, "q_proj")(windows).reshape(shp)
-        k = dense(self.d_model, "k_proj")(windows).reshape(shp)
-        v = dense(self.d_model, "v_proj")(windows).reshape(shp)
+        qp = dense(self.d_model, "q_proj")(windows)  # (B, nW, w², D) packed
+        kp = dense(self.d_model, "k_proj")(windows)
+        vp = dense(self.d_model, "v_proj")(windows)
 
-        logits = jnp.einsum("bnqhd,bnkhd->bnhqk", q * (head_dim**-0.5), k)
-        logits = logits + attn_bias
-        probs = jax.nn.softmax(logits, axis=-1)
-        if self.dropout > 0 and train:
-            keep = jax.random.bernoulli(self.make_rng("dropout"), 1.0 - self.dropout, probs.shape)
-            probs = probs * keep / (1.0 - self.dropout)
-        out = jnp.einsum("bnhqk,bnkhd->bnqhd", probs, v)
-        out = out.reshape(*windows.shape[:-1], self.d_model)
+        from ..ops.swin_attention import swin_window_attention, use_swin_kernel
+
+        n_pairs = windows.shape[0] * windows.shape[1] * self.n_heads
+        if use_swin_kernel(w * w, w * w, n_pairs, self.dropout, train):
+            # fused Pallas path: whole (w², w²) score matrix in VMEM; the
+            # learnable PE bias and the constant shift mask stay separate so
+            # dPE is a tiny in-kernel reduction (ops/swin_attention.py)
+            pe = table[..., index].astype(qp.dtype)  # (1, n_heads, w², w²)
+            mask_k = None if shift_mask is None else shift_mask.astype(qp.dtype)
+            out = swin_window_attention(qp, kp, vp, pe, mask_k, self.n_heads)
+        else:
+            shp = windows.shape[:-1] + (self.n_heads, head_dim)
+            q = qp.reshape(shp)
+            k = kp.reshape(shp)
+            v = vp.reshape(shp)
+            logits = jnp.einsum("bnqhd,bnkhd->bnhqk", q * (head_dim**-0.5), k)
+            logits = logits + attn_bias
+            probs = jax.nn.softmax(logits, axis=-1)
+            if self.dropout > 0 and train:
+                keep = jax.random.bernoulli(self.make_rng("dropout"), 1.0 - self.dropout, probs.shape)
+                probs = probs * keep / (1.0 - self.dropout)
+            out = jnp.einsum("bnhqk,bnkhd->bnqhd", probs, v)
+            out = out.reshape(*windows.shape[:-1], self.d_model)
         out = dense(self.d_model, "out_proj")(out)
 
         out = window_unpartition(out, w, H // w, W // w)
