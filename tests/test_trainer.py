@@ -226,6 +226,27 @@ def test_fit_with_fsdp_sharding(tmp_path):
     assert int(state.step) == 10
 
 
+def test_resume_grad_accum_mismatch_is_loud(tmp_path):
+    """Resuming a checkpoint saved under a different grad_accum_steps wraps the
+    optimizer state differently (MultiSteps) — must raise a clear ValueError,
+    not an opaque orbax structure error."""
+    cfg = _smoke_cfg(tmp_path, grad_accum_steps=2)
+    trainer = Trainer(cfg)
+    trainer.fit()
+    ckpt = os.path.join(cfg.runtime.out_dir, "checkpoints", "step_10")
+    assert os.path.isdir(ckpt)
+
+    cfg2 = _smoke_cfg(tmp_path)  # grad_accum_steps=1
+    cfg2.runtime.resume = ckpt
+    with pytest.raises(ValueError, match="grad_accum_steps"):
+        Trainer(cfg2)
+
+    # same value resumes fine
+    cfg3 = _smoke_cfg(tmp_path, grad_accum_steps=2)
+    cfg3.runtime.resume = ckpt
+    assert int(Trainer(cfg3).state.step) == 10
+
+
 def test_fit_with_grad_accumulation(tmp_path):
     """train.grad_accum_steps=2: fit runs, all micro-steps count, the
     schedule advances per optimizer step."""

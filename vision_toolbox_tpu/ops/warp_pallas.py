@@ -41,15 +41,15 @@ def canvas_size(h: int) -> int:
     return s
 
 
-def _pass2_slab(S: int, P: int, H: int) -> tuple[int, int]:
+def _pass2_slab(S: int, P: int, H: int, W: int) -> tuple[int, int]:
     """Row range (in transposed space = canvas columns) pass 2 must process.
 
     Only canvas columns that pass 3 / the final crop can read matter: the
-    crop reads cols [P, P+H); pass 3 (x-shear, |p3| ≤ tan 22.5° over output
+    crop reads cols [P, P+W); pass 3 (x-shear, |p3| ≤ tan 22.5° over output
     rows |y−c| ≤ (H+1)/2) reaches ±(tan22.5°·(H+1)/2 + 2) further."""
     reach = int(0.4143 * (H + 1) / 2) + 3
     lo = max(0, (P - reach) // 8 * 8)
-    hi = min(S, -((P + H + reach) // -8) * 8)
+    hi = min(S, -((P + W + reach) // -8) * 8)
     return lo, hi
 
 
@@ -110,7 +110,7 @@ def _warp_kernel(flags_ref, coef_ref, x_ref, out_ref, cv, *, S, P, H, W):
     # content/output rows [P, P+H); pass 2 (canvas columns, via transpose)
     # only the columns within pass 3's shear reach of the crop. Rows outside
     # a slab hold zero or never-read content. ~2× less VPU work at 176px.
-    lo2, hi2 = _pass2_slab(S, P, H)
+    lo2, hi2 = _pass2_slab(S, P, H, W)
 
     @pl.when(flags_ref[b, 1] != 0)
     def _():

@@ -139,6 +139,30 @@ def make_eval_step(compute_dtype: Any = jnp.float32):
     return eval_step
 
 
+def make_eval_accumulate_step(compute_dtype: Any = jnp.float32):
+    """Eval step that folds its metrics into a device-resident accumulator.
+
+    ``acc`` is a (4,) f32 vector [loss_sum, correct, correct_top5, count]
+    (count-weighted sums, so ragged final batches accumulate exactly); the
+    trainer keeps it on device across the whole val epoch and reads it back
+    ONCE — the per-batch ``float(...)`` syncs cost ~24 ms each over the TPU
+    tunnel (4 syncs × n_batches of pure latency per epoch before this)."""
+    eval_step = make_eval_step(compute_dtype)
+
+    def accumulate_step(state: TrainState, images, labels, acc: jax.Array):
+        m = eval_step(state, images, labels)
+        return acc + jnp.stack(
+            [
+                m["loss"] * m["count"],
+                m["acc"] * m["count"],
+                m["acc5"] * m["count"],
+                m["count"],
+            ]
+        )
+
+    return accumulate_step
+
+
 def shard_train_step(train_step, mesh: Mesh, data_axis: str = "data"):
     """jit the train step with batch sharded over the mesh and state replicated."""
     repl = NamedSharding(mesh, P())

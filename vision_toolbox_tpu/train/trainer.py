@@ -20,7 +20,12 @@ from ..parallel.mesh import batch_sharding, create_mesh, shard_batch
 from .classifier import ImageClassifier
 from .config import Config, save_config
 from .optim import sgd_with_param_groups, warmup_cosine_schedule
-from .step import TrainState, make_eval_step, make_train_step, shard_train_step
+from .step import (
+    TrainState,
+    make_eval_accumulate_step,
+    make_train_step,
+    shard_train_step,
+)
 
 
 class SyntheticData:
@@ -88,7 +93,7 @@ class Trainer:
         schedule = warmup_cosine_schedule(
             cfg.train.lr,
             cfg.train.epochs,
-            max(1, self.steps_per_epoch // self.grad_accum),
+            max(1, -(-self.steps_per_epoch // self.grad_accum)),
             cfg.train.warmup_epochs,
             cfg.train.warmup_factor,
             cfg.train.decay_factor,
@@ -121,9 +126,16 @@ class Trainer:
             ),
             self.mesh,
         )
+        from ..parallel.mesh import replicated
+
         self.eval_step = jax.jit(
-            make_eval_step(compute_dtype),
-            in_shardings=(None, batch_sharding(self.mesh), batch_sharding(self.mesh)),
+            make_eval_accumulate_step(compute_dtype),
+            in_shardings=(
+                None,
+                batch_sharding(self.mesh),
+                batch_sharding(self.mesh),
+                replicated(self.mesh),
+            ),
         )
 
         os.makedirs(cfg.runtime.out_dir, exist_ok=True)
@@ -134,7 +146,10 @@ class Trainer:
         if cfg.runtime.resume:
             from ..utils.checkpoint import restore_train_state
 
-            self.state = restore_train_state(cfg.runtime.resume, self.state)
+            self.state = restore_train_state(
+                cfg.runtime.resume, self.state,
+                expect_meta={"grad_accum_steps": self.grad_accum},
+            )
             print(f"resumed from {cfg.runtime.resume} at step {int(self.state.step)}")
 
         # TP / FSDP parameter placement (beyond the reference's DP-only story):
@@ -301,7 +316,10 @@ class Trainer:
                             "epoch": epoch,
                             "step": step,
                             "train/loss": metrics["loss"],
-                            "lr": float(self.schedule(step // self.grad_accum)),
+                            # lr actually applied at micro-step `step` (the
+                            # optimizer's schedule count is the number of
+                            # completed optimizer updates BEFORE that step)
+                            "lr": float(self.schedule((step - 1) // self.grad_accum)),
                         }
                     )
             dt = time.time() - t0
@@ -321,7 +339,10 @@ class Trainer:
             print("evaluate: no validation data configured (data.val_dir unset)")
             return {}
         nominal = self.cfg.data.batch_size
-        total, loss_sum, acc_sum, acc5_sum = 0.0, 0.0, 0.0, 0.0
+        # device-side accumulator [loss_sum, correct, correct5, count]: the
+        # whole val epoch runs with zero host syncs, ONE readback at the end
+        # (each float() costs a ~24 ms tunnel roundtrip — see CLAUDE.md)
+        acc = jnp.zeros((4,), jnp.float32)
         for images, labels in self.val_loader:
             b = images.shape[0]
             if b != nominal:
@@ -334,12 +355,8 @@ class Trainer:
                     [np.asarray(labels, np.int32), np.full((nominal - b,), -1, np.int32)]
                 )
             images, labels = shard_batch((images, labels), self.mesh)
-            m = self.eval_step(self.state, images, labels)
-            count = float(m["count"])
-            total += count
-            loss_sum += float(m["loss"]) * count
-            acc_sum += float(m["acc"]) * count
-            acc5_sum += float(m["acc5"]) * count
+            acc = self.eval_step(self.state, images, labels, acc)
+        loss_sum, acc_sum, acc5_sum, total = np.asarray(acc, np.float64)
         if total == 0:
             return {}
         return {
@@ -352,7 +369,9 @@ class Trainer:
         from ..utils.checkpoint import save_train_state
 
         path = save_train_state(
-            os.path.join(self.cfg.runtime.out_dir, "checkpoints"), self.state, step=int(self.state.step)
+            os.path.join(self.cfg.runtime.out_dir, "checkpoints"), self.state,
+            step=int(self.state.step),
+            meta={"grad_accum_steps": self.grad_accum},
         )
         # ModelCheckpoint(monitor=val/acc, mode=max) equivalent (configs/base.yaml:33-36)
         if val_acc is not None and val_acc > self.best_acc:

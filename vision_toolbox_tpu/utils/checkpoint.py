@@ -17,8 +17,15 @@ from typing import Any
 import numpy as np
 
 
-def save_train_state(ckpt_dir: str, state: Any, step: int | None = None) -> str:
-    """Orbax save of {params, batch_stats, opt_state, step}."""
+def save_train_state(
+    ckpt_dir: str, state: Any, step: int | None = None, meta: dict | None = None
+) -> str:
+    """Orbax save of {params, batch_stats, opt_state, step}.
+
+    ``meta`` (plain JSON-able dict, e.g. {"grad_accum_steps": k}) is written
+    alongside the checkpoint so that resume can fail loudly when the optimizer
+    state structure depends on a config value that changed (the MultiSteps
+    wrapper reshapes opt_state — an orbax template mismatch is opaque)."""
     import orbax.checkpoint as ocp
 
     path = os.path.abspath(ckpt_dir)
@@ -35,13 +42,37 @@ def save_train_state(ckpt_dir: str, state: Any, step: int | None = None) -> str:
             },
             force=True,
         )
+    if meta:
+        import json
+
+        with open(os.path.join(path, "vtt_meta.json"), "w") as f:
+            json.dump(meta, f)
     return path
 
 
-def restore_train_state(ckpt_path: str, state: Any) -> Any:
-    """Restore into an abstract TrainState built the same way as at save time."""
+def restore_train_state(ckpt_path: str, state: Any, expect_meta: dict | None = None) -> Any:
+    """Restore into an abstract TrainState built the same way as at save time.
+
+    ``expect_meta`` asserts checkpoint metadata (see ``save_train_state``)
+    before orbax touches the tree, turning structural mismatches (e.g. a
+    changed ``train.grad_accum_steps``) into a clear error."""
     import orbax.checkpoint as ocp
 
+    if expect_meta:
+        import json
+
+        meta_path = os.path.join(os.path.abspath(ckpt_path), "vtt_meta.json")
+        if os.path.exists(meta_path):
+            with open(meta_path) as f:
+                saved = json.load(f)
+            for k, want in expect_meta.items():
+                if k in saved and saved[k] != want:
+                    raise ValueError(
+                        f"checkpoint {ckpt_path} was saved with {k}={saved[k]} "
+                        f"but the current config has {k}={want}; the optimizer "
+                        f"state structure depends on it — resume with the same "
+                        f"value (or restart without runtime.resume)"
+                    )
     template = {
         "step": state.step,
         "params": state.params,
