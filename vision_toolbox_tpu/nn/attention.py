@@ -20,8 +20,36 @@ from .layers import LayerScale, Linear, StochasticDepth, _gelu_exact
 Dtype = Any
 
 
+class _Proj(nn.Module):
+    """Param-only projection: declares <name>/{kernel,bias} exactly like
+    ``nn.Dense`` (same init, same RNG stream) but returns the raw params so
+    the caller can fuse several projections into one matmul."""
+
+    in_dim: int
+    out_dim: int
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self) -> tuple[jax.Array, jax.Array | None]:
+        from .initializers import torch_default_bias, torch_default_kernel
+
+        kernel = self.param("kernel", torch_default_kernel, (self.in_dim, self.out_dim))
+        bias = (
+            self.param("bias", torch_default_bias(self.in_dim), (self.out_dim,))
+            if self.use_bias
+            else None
+        )
+        return kernel, bias
+
+
 class MHA(nn.Module):
-    """Multi-head attention with separate q/k/v/out projections (ref vit.py:18-48)."""
+    """Multi-head attention with separate q/k/v/out projections (ref vit.py:18-48).
+
+    The param tree keeps the reference's separate q_proj/k_proj/v_proj names
+    (the checkpoint interface for both the Flax layout and the torch
+    qkv-chunk layout), but for self-attention ``__call__`` concatenates the
+    kernels at apply time into one (D, 3D) matmul — one MXU pass over the
+    activations instead of three skinny ones."""
 
     d_model: int
     n_heads: int
@@ -42,18 +70,30 @@ class MHA(nn.Module):
         attn_bias: jax.Array | None = None,
         train: bool = False,
     ) -> jax.Array:
+        from flax.linen import dtypes
+
+        self_attention = k is None and v is None
         k = q if k is None else k
         v = k if v is None else v
-        from .initializers import torch_default_bias, torch_default_kernel
 
-        dense = lambda name: nn.Dense(
-            self.d_model, use_bias=self.bias, dtype=self.dtype,
-            kernel_init=torch_default_kernel,
-            bias_init=torch_default_bias(q.shape[-1]), name=name,
-        )
-        qh = self._split(dense("q_proj")(q))
-        kh = self._split(dense("k_proj")(k))
-        vh = self._split(dense("v_proj")(v))
+        qw, qb = _Proj(q.shape[-1], self.d_model, self.bias, name="q_proj")()
+        kw, kb = _Proj(k.shape[-1], self.d_model, self.bias, name="k_proj")()
+        vw, vb = _Proj(v.shape[-1], self.d_model, self.bias, name="v_proj")()
+
+        if self_attention:
+            w = jnp.concatenate([qw, kw, vw], axis=1)  # (D, 3D)
+            b = jnp.concatenate([qb, kb, vb]) if self.bias else None
+            x, w, b = dtypes.promote_dtype(q, w, b, dtype=self.dtype)
+            qkv = x @ w + b if b is not None else x @ w
+            qp, kp, vp = jnp.split(qkv, 3, axis=-1)
+        else:
+            x, kx, vx, qw, kw, vw, qb, kb, vb = dtypes.promote_dtype(
+                q, k, v, qw, kw, vw, qb, kb, vb, dtype=self.dtype
+            )
+            qp = x @ qw + qb if qb is not None else x @ qw
+            kp = kx @ kw + kb if kb is not None else kx @ kw
+            vp = vx @ vw + vb if vb is not None else vx @ vw
+        qh, kh, vh = self._split(qp), self._split(kp), self._split(vp)
         drop_rng = None
         if self.dropout > 0 and train:
             drop_rng = self.make_rng("dropout")
@@ -62,7 +102,13 @@ class MHA(nn.Module):
             dropout_rate=self.dropout if train else 0.0, dropout_rng=drop_rng,
         )
         out = out.reshape(*out.shape[:-2], self.d_model)
-        return dense("out_proj")(out)
+        from .initializers import torch_default_bias, torch_default_kernel
+
+        return nn.Dense(
+            self.d_model, use_bias=self.bias, dtype=self.dtype,
+            kernel_init=torch_default_kernel,
+            bias_init=torch_default_bias(self.d_model), name="out_proj",
+        )(out)
 
 
 class MLP(nn.Module):
