@@ -58,3 +58,42 @@ def test_val_keeps_partial(shards):
     loader = WebDatasetLoader(shards, 8, _transform, training=False, per_host=False)
     batches = list(loader)
     assert [b[0].shape[0] for b in batches] == [8, 8, 4]
+
+
+def _label_multiset(batches):
+    return sorted(int(l) for _, labels in batches for l in labels)
+
+
+def test_parallel_streams_same_samples(shards):
+    """num_streams=2: same sample multiset, same epoch-length contract as the
+    single-stream loader — only the arrival order may differ."""
+    single = list(WebDatasetLoader(shards, 4, _transform, training=True, per_host=False))
+    multi = list(
+        WebDatasetLoader(shards, 4, _transform, training=True, per_host=False, num_streams=2)
+    )
+    assert len(multi) == len(single) == 5
+    assert _label_multiset(multi) == _label_multiset(single)
+
+    # val: exactly-once incl. the ragged final batch
+    multi_val = list(
+        WebDatasetLoader(shards, 8, _transform, training=False, per_host=False, num_streams=2)
+    )
+    assert sorted(b[0].shape[0] for b in multi_val) == [4, 8, 8]
+    assert _label_multiset(multi_val) == sorted([i % 3 for i in range(20)])
+
+
+def test_parallel_streams_fixed_epoch_cycles(shards):
+    loader = WebDatasetLoader(
+        shards, 8, _transform, training=True, num_batches=5, per_host=False, num_streams=2
+    )
+    assert len(list(loader)) == 5  # 20 samples re-streamed to fill 5 batches
+
+    # second epoch re-deals shards and still meets the contract
+    assert len(list(loader)) == 5
+
+
+def test_parallel_streams_cap(shards):
+    """num_streams is capped at the shard count (no idle readers)."""
+    loader = WebDatasetLoader(shards, 4, _transform, training=True, per_host=False, num_streams=8)
+    assert loader.num_streams == 2
+    assert len(list(loader)) == 5

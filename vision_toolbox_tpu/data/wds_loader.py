@@ -5,11 +5,21 @@ Mirrors the reference wds pipeline (data.py:32-38, 68-77): shard shuffle +
 is ``train_size // global_batch`` like wds ``ddp_equalize`` — each host
 streams its own disjoint shards and contributes batch_size/host_count
 samples per step.
+
+``num_streams > 1`` runs that many parallel tar readers (threads; tarfile IO
+and PIL JPEG decode release the GIL in their C cores), each streaming a
+disjoint round-robin slice of the host's shards into one bounded queue that
+a single assembler drains into batches — the TPU-host analogue of the
+reference's ``num_workers: 8`` DataLoader processes (data.py:68-77). The
+epoch-length and exactly-once contracts are preserved: every sample of every
+shard is yielded once per cycle, and ``num_batches`` still bounds the epoch.
 """
 
 from __future__ import annotations
 
+import queue
 import random
+import threading
 from typing import Callable, Iterator
 
 import numpy as np
@@ -27,6 +37,7 @@ class WebDatasetLoader:
         num_batches: int | None = None,
         seed: int = 0,
         per_host: bool = True,
+        num_streams: int = 1,
     ):
         self.shards = shard_for_host(shards) if per_host else list(shards)
         self.batch_size = batch_size
@@ -34,6 +45,7 @@ class WebDatasetLoader:
         self.training = training
         self.num_batches = num_batches
         self.seed = seed
+        self.num_streams = max(1, min(num_streams, len(self.shards) or 1))
         self.epoch = 0
 
     def __len__(self) -> int:
@@ -46,17 +58,67 @@ class WebDatasetLoader:
         self.epoch += 1
         rng = random.Random(epoch_seed)
 
-        def batches(cycle: int = 0):
+        def transformed_samples(cycle: int):
+            """One stream (num_streams == 1): decode + transform inline."""
             sample_iter = iter_webdataset(
                 self.shards,
                 shuffle_shards=self.training,
                 shuffle_buffer=1000 if self.training else 0,
                 seed=epoch_seed + cycle,
             )
-            images, labels = [], []
             for sample in sample_iter:
-                images.append(self.transform(rng, sample.image))
-                labels.append(sample.label)
+                yield self.transform(rng, sample.image), sample.label
+
+        def parallel_samples(cycle: int):
+            """num_streams parallel tar readers + decoders → one bounded queue.
+
+            Shards are dealt round-robin AFTER the epoch shard shuffle, so the
+            partition changes every epoch; each stream keeps its own transform
+            rng (seeded per (epoch, cycle, stream)) and its own shuffle
+            buffer — the union is exactly one pass over the host's shards."""
+            shards = list(self.shards)
+            if self.training:
+                random.Random(epoch_seed + cycle).shuffle(shards)
+            groups = [shards[i :: self.num_streams] for i in range(self.num_streams)]
+            groups = [g for g in groups if g]
+            q: queue.Queue = queue.Queue(maxsize=4 * self.batch_size)
+            _SENTINEL = object()
+
+            def work(idx: int, group: list[str]):
+                srng = random.Random((epoch_seed, cycle, idx).__hash__() & 0x7FFFFFFF)
+                try:
+                    for sample in iter_webdataset(
+                        group,
+                        shuffle_shards=False,  # already shuffled + dealt above
+                        shuffle_buffer=1000 // len(groups) if self.training else 0,
+                        seed=epoch_seed + cycle + idx,
+                    ):
+                        q.put((self.transform(srng, sample.image), sample.label))
+                finally:
+                    q.put(_SENTINEL)
+
+            threads = [
+                threading.Thread(target=work, args=(i, g), daemon=True)
+                for i, g in enumerate(groups)
+            ]
+            for t in threads:
+                t.start()
+            live = len(threads)
+            while live:
+                item = q.get()
+                if item is _SENTINEL:
+                    live -= 1
+                    continue
+                yield item
+            for t in threads:
+                t.join()
+
+        def batches(cycle: int = 0):
+            source = parallel_samples if self.num_streams > 1 else transformed_samples
+            images, labels = [], []
+            for image, label in source(cycle):
+                images.append(image)
+                labels.append(label)
                 if len(images) == self.batch_size:
                     yield np.stack(images), np.asarray(labels, np.int32)
                     images, labels = [], []

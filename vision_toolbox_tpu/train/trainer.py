@@ -195,6 +195,7 @@ class Trainer:
                 train_shards, cfg.data.batch_size,
                 transform=lambda r, im: train_transform(r, im, cfg.data.train_crop_size),
                 training=True, num_batches=num_batches, seed=cfg.train.seed,
+                num_streams=cfg.data.num_workers,  # ref num_workers: 8 (base.yaml)
             )
             val = (
                 WebDatasetLoader(
@@ -206,6 +207,7 @@ class Trainer:
                     num_batches=(cfg.data.val_size // cfg.data.batch_size) or None
                     if cfg.data.val_size
                     else None,
+                    num_streams=cfg.data.num_workers,
                 )
                 if val_shards
                 else None
