@@ -35,6 +35,7 @@ import numpy as np
 # one representative per ported-weights family
 GOLDEN_SPECS = [
     # (name, img_size, kwargs)
+    ("darknet19", 224, {}),
     ("cspdarknet53", 224, {}),
     ("vovnet39", 224, {}),
     ("vit_s_16", 224, {}),
