@@ -38,21 +38,31 @@ class TalkingHeadAttention(nn.Module):
         )
         head_dim = self.d_model // self.n_heads
         scale = head_dim**-0.5
-        q = dense("q_proj")(x).reshape(*x.shape[:-1], self.n_heads, head_dim)
-        k = dense("k_proj")(x).reshape(*x.shape[:-1], self.n_heads, head_dim)
-        v = dense("v_proj")(x).reshape(*x.shape[:-1], self.n_heads, head_dim)
-
-        # (B, H, Q, K) logits; head-mixing projections are (H, H) matmuls
-        logits = jnp.einsum("bqhd,bkhd->bhqk", q, k * scale)
+        qp = dense("q_proj")(x)
+        kp = dense("k_proj")(x)
+        vp = dense("v_proj")(x)
         mix = lambda name: self.param(name, torch_default_kernel, (self.n_heads, self.n_heads))
         mix_b = lambda name: self.param(name, torch_default_bias(self.n_heads), (self.n_heads,))
-        logits = jnp.einsum("bhqk,gh->bgqk", logits, mix("proj_l_kernel")) + mix_b("proj_l_bias")[
-            None, :, None, None
-        ]
+        ml, mlb = mix("proj_l_kernel"), mix_b("proj_l_bias")
+        mw, mwb = mix("proj_w_kernel"), mix_b("proj_w_bias")
+
+        from ..ops.cait_attention import talking_head_attention, use_talking_head_kernel
+
+        T = x.shape[-2]
+        if not (self.dropout > 0 and train) and use_talking_head_kernel(T, T, self.n_heads):
+            # fused Pallas kernel: all heads' (T, S) score matrices + both
+            # head-mixes stay in VMEM (ops/cait_attention.py)
+            out = talking_head_attention(qp, kp, vp, ml, mlb, mw, mwb)
+            return dense("out_proj")(out)
+
+        q = qp.reshape(*x.shape[:-1], self.n_heads, head_dim)
+        k = kp.reshape(*x.shape[:-1], self.n_heads, head_dim)
+        v = vp.reshape(*x.shape[:-1], self.n_heads, head_dim)
+        # (B, H, Q, K) logits; head-mixing projections are (H, H) matmuls
+        logits = jnp.einsum("bqhd,bkhd->bhqk", q, k * scale)
+        logits = jnp.einsum("bhqk,gh->bgqk", logits, ml) + mlb[None, :, None, None]
         probs = jax.nn.softmax(logits, axis=-1)
-        probs = jnp.einsum("bhqk,gh->bgqk", probs, mix("proj_w_kernel")) + mix_b("proj_w_bias")[
-            None, :, None, None
-        ]
+        probs = jnp.einsum("bhqk,gh->bgqk", probs, mw) + mwb[None, :, None, None]
         if self.dropout > 0 and train:
             keep = jax.random.bernoulli(self.make_rng("dropout"), 1.0 - self.dropout, probs.shape)
             probs = probs * keep / (1.0 - self.dropout)
