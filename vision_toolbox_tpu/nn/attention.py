@@ -19,6 +19,20 @@ from .layers import LayerScale, Linear, StochasticDepth, _gelu_exact
 
 Dtype = Any
 
+# Apply-time fusion of the self-attention q/k/v projections into one (D, 3D)
+# matmul. Param trees are identical either way (separate q/k/v names); this
+# only changes the computation.
+#
+# MEASURED NEGATIVE on v5e (round 3, same-process A/B/A, bs128@224 train):
+#   deit3_s_16: fused 50.0 ms/step vs separate 47.4 (-5%)
+#   vit_b_16:   fused 126.2 ms/step vs separate 117.2 (-7%)
+# The three (25216, D) x (D, D) matmuls already saturate the MXU, so the
+# single (D, 3D) matmul wins nothing, while the per-step kernel concat and
+# the (B, T, 3D) -> 3x(B, T, D) split add pure layout traffic (the packed
+# short-attention kernel's operands stop being free reshapes of their
+# producing matmuls). Kept behind this flag as an honest negative.
+FUSE_SELF_ATTENTION_QKV = False
+
 
 class _Proj(nn.Module):
     """Param-only projection: declares <name>/{kernel,bias} exactly like
@@ -72,7 +86,7 @@ class MHA(nn.Module):
     ) -> jax.Array:
         from flax.linen import dtypes
 
-        self_attention = k is None and v is None
+        self_attention = k is None and v is None and FUSE_SELF_ATTENTION_QKV
         k = q if k is None else k
         v = k if v is None else v
 
