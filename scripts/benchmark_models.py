@@ -20,6 +20,9 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 import jax
 import jax.numpy as jnp
 
+jax.config.update("jax_compilation_cache_dir", str(Path(__file__).resolve().parent.parent / ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 # (name, kwargs, img, train_batch, infer_batch)
 MODELS = [
     ("cspdarknet53", {}, 176, 256, 256),
@@ -30,6 +33,7 @@ MODELS = [
     ("swin_t", {"img_size": 224}, 224, 128, 256),
     ("vit_b_16", {"img_size": 224}, 224, 128, 256),
     ("deit3_s_16", {"img_size": 224}, 224, 128, 256),
+    ("cait_xxs_24", {"img_size": 224}, 224, 128, 256),
     ("efficientnet_b0", {}, 224, 256, 256),
 ]
 
