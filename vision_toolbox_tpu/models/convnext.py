@@ -52,9 +52,10 @@ class ConvNeXtBlock(nn.Module):
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
         layer_scale_init = None if self.v2 else self.layer_scale_init
         hidden = int(self.d_model * self.expansion_ratio)
-        y = nn.Conv(
-            self.d_model, (7, 7), padding=[(3, 3), (3, 3)],
-            feature_group_count=self.d_model, use_bias=self.bias,
+        from ..nn.layers import DepthwiseConv
+
+        y = DepthwiseConv(
+            7, use_bias=self.bias,
             kernel_init=torch_default_kernel, bias_init=torch_default_bias(49),
             dtype=self.dtype, name="dwconv",
         )(x)

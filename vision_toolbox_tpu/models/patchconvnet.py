@@ -59,8 +59,11 @@ class PatchConvBlock(nn.Module):
             y = nn.LayerNorm(1e-6, dtype=self.dtype, name="norm")(x)
         y = _linear(self.embed_dim, name="mix1", dtype=self.dtype)(y)
         y = _gelu_exact(y)
-        y = _conv(
-            self.embed_dim, 3, groups=self.embed_dim, pad=1, name="dwconv", dtype=self.dtype
+        from ..nn.layers import DepthwiseConv
+
+        y = DepthwiseConv(
+            3, kernel_init=trunc_normal(0.02), bias_init=nn.initializers.zeros,
+            dtype=self.dtype, name="dwconv",
         )(y)
         y = _gelu_exact(y)
         y = SqueezeExcitation(self.embed_dim // 4, dtype=self.dtype, name="se")(y)

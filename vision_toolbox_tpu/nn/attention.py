@@ -86,27 +86,33 @@ class MHA(nn.Module):
     ) -> jax.Array:
         from flax.linen import dtypes
 
+        from .initializers import torch_default_bias, torch_default_kernel
+
         self_attention = k is None and v is None and FUSE_SELF_ATTENTION_QKV
         k = q if k is None else k
         v = k if v is None else v
 
-        qw, qb = _Proj(q.shape[-1], self.d_model, self.bias, name="q_proj")()
-        kw, kb = _Proj(k.shape[-1], self.d_model, self.bias, name="k_proj")()
-        vw, vb = _Proj(v.shape[-1], self.d_model, self.bias, name="v_proj")()
-
         if self_attention:
+            qw, qb = _Proj(q.shape[-1], self.d_model, self.bias, name="q_proj")()
+            kw, kb = _Proj(k.shape[-1], self.d_model, self.bias, name="k_proj")()
+            vw, vb = _Proj(v.shape[-1], self.d_model, self.bias, name="v_proj")()
             w = jnp.concatenate([qw, kw, vw], axis=1)  # (D, 3D)
             b = jnp.concatenate([qb, kb, vb]) if self.bias else None
             x, w, b = dtypes.promote_dtype(q, w, b, dtype=self.dtype)
             qkv = x @ w + b if b is not None else x @ w
             qp, kp, vp = jnp.split(qkv, 3, axis=-1)
         else:
-            x, kx, vx, qw, kw, vw, qb, kb, vb = dtypes.promote_dtype(
-                q, k, v, qw, kw, vw, qb, kb, vb, dtype=self.dtype
+            # plain Dense projections (same scope names, params, and RNG
+            # stream as _Proj) — also the interception point for the int8
+            # serving path (utils/int8_serving.py)
+            dense = lambda name, fan_in: nn.Dense(
+                self.d_model, use_bias=self.bias, dtype=self.dtype,
+                kernel_init=torch_default_kernel,
+                bias_init=torch_default_bias(fan_in), name=name,
             )
-            qp = x @ qw + qb if qb is not None else x @ qw
-            kp = kx @ kw + kb if kb is not None else kx @ kw
-            vp = vx @ vw + vb if vb is not None else vx @ vw
+            qp = dense("q_proj", q.shape[-1])(q)
+            kp = dense("k_proj", k.shape[-1])(k)
+            vp = dense("v_proj", v.shape[-1])(v)
         qh, kh, vh = self._split(qp), self._split(kp), self._split(vp)
         drop_rng = None
         if self.dropout > 0 and train:

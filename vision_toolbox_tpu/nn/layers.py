@@ -52,6 +52,47 @@ def torch_pad(kernel_size: int, stride: int = 1) -> int:
     return math.ceil((kernel_size - stride) / 2)
 
 
+class DepthwiseConv(nn.Module):
+    """Depthwise k×k conv, stride 1, SAME — param-compatible with the
+    ``nn.Conv(feature_group_count=C)`` it replaces (kernel (k, k, 1, C),
+    bias (C,), same init RNG stream). Dispatches to the Pallas depthwise
+    kernel on TPU (XLA's grouped-conv lowering measured 22-110× off its byte
+    floor — ops/depthwise_conv.py); elsewhere uses the lax conv."""
+
+    kernel_size: int
+    use_bias: bool = True
+    kernel_init: Callable = torch_default_kernel
+    bias_init: Callable | None = None
+    dtype: Dtype | None = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        from flax.linen import dtypes
+
+        from ..ops.depthwise_conv import depthwise_conv2d, use_depthwise_kernel
+
+        k = self.kernel_size
+        C = x.shape[-1]
+        kernel = self.param("kernel", self.kernel_init, (k, k, 1, C))
+        bias = (
+            self.param("bias", self.bias_init or torch_default_bias(k * k), (C,))
+            if self.use_bias
+            else None
+        )
+        x, kernel, bias = dtypes.promote_dtype(x, kernel, bias, dtype=self.dtype)
+        if use_depthwise_kernel(k, 1, 1, x.shape[1], x.shape[2]):
+            y = depthwise_conv2d(x, kernel)
+        else:
+            p = k // 2
+            y = jax.lax.conv_general_dilated(
+                x, kernel, (1, 1), [(p, p), (p, p)], feature_group_count=C,
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+        if bias is not None:
+            y = y + bias
+        return y
+
+
 class ConvNormAct(nn.Module):
     """Conv → Norm → Act, the primitive of every conv backbone and neck.
 
@@ -82,19 +123,33 @@ class ConvNormAct(nn.Module):
         else:
             kernel_init = torch_default_kernel
         fan_in = x.shape[-1] // self.groups * k * k
-        x = nn.Conv(
-            features=self.out_channels,
-            kernel_size=(k, k),
-            strides=(s, s),
-            padding=[(pad, pad), (pad, pad)],
-            kernel_dilation=(self.dilation, self.dilation),
-            feature_group_count=self.groups,
-            use_bias=use_bias,
-            kernel_init=kernel_init,
-            bias_init=torch_default_bias(fan_in),
-            dtype=self.dtype,
-            name="conv",
-        )(x)
+        if (
+            self.groups == x.shape[-1] == self.out_channels
+            and s == 1
+            and self.dilation == 1
+            and k % 2 == 1
+        ):
+            # depthwise stride-1 case (MBConv k=3/5, etc.): same "conv" param
+            # subtree, Pallas kernel on TPU (see DepthwiseConv)
+            x = DepthwiseConv(
+                k, use_bias=use_bias, kernel_init=kernel_init,
+                bias_init=torch_default_bias(fan_in), dtype=self.dtype,
+                name="conv",
+            )(x)
+        else:
+            x = nn.Conv(
+                features=self.out_channels,
+                kernel_size=(k, k),
+                strides=(s, s),
+                padding=[(pad, pad), (pad, pad)],
+                kernel_dilation=(self.dilation, self.dilation),
+                feature_group_count=self.groups,
+                use_bias=use_bias,
+                kernel_init=kernel_init,
+                bias_init=torch_default_bias(fan_in),
+                dtype=self.dtype,
+                name="conv",
+            )(x)
         if self.norm == "bn":
             from .norm import BatchNorm
 
