@@ -21,6 +21,18 @@ def main():
                         help="dotted override, e.g. train.lr=0.1")
     args = parser.parse_args()
 
+    import os
+
+    import jax
+
+    # persistent compilation cache: the full-recipe train step costs ~10 min
+    # to compile on a 1-core host — resumes and re-runs shouldn't pay it twice
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     from vision_toolbox_tpu.train.config import load_config
     from vision_toolbox_tpu.train.trainer import Trainer
 
