@@ -123,6 +123,67 @@ def main() -> None:
         eval_count=float(ev["count"]),
     )
 
+    # --- multi-host WDS ingestion: per-host disjoint shards, parallel reader
+    # streams, global-batch assembly — every sample must appear EXACTLY once
+    # across all processes (the wds ddp_equalize/exactly-once contract).
+    import io
+    import tarfile
+    import time
+
+    from vision_toolbox_tpu.data.wds_loader import WebDatasetLoader
+
+    shared = os.path.join(os.path.dirname(os.path.abspath(out_path)), "wds_shards")
+    marker = os.path.join(shared, "done")
+    n_samples = 16
+    if proc_id == 0:
+        from PIL import Image
+
+        os.makedirs(shared, exist_ok=True)
+        idx = 0
+        for s in range(4):
+            with tarfile.open(os.path.join(shared, f"{s:04d}.tar"), "w") as tf:
+                for _ in range(4):
+                    buf = io.BytesIO()
+                    Image.new("RGB", (8, 8), ((idx * 15) % 256, 0, 0)).save(buf, format="JPEG")
+                    data = buf.getvalue()
+                    info = tarfile.TarInfo(f"{idx:06d}.jpg")
+                    info.size = len(data)
+                    tf.addfile(info, io.BytesIO(data))
+                    cls = str(idx).encode()
+                    info = tarfile.TarInfo(f"{idx:06d}.cls")
+                    info.size = len(cls)
+                    tf.addfile(info, io.BytesIO(cls))
+                    idx += 1
+        with open(marker, "w") as f:
+            f.write("ok")
+    else:
+        for _ in range(600):
+            if os.path.exists(marker):
+                break
+            time.sleep(0.1)
+
+    shards16 = [os.path.join(shared, f"{s:04d}.tar") for s in range(4)]
+    loader = WebDatasetLoader(
+        shards16,
+        batch_size=8 // nproc,  # global batch 8: each host contributes 1/nproc
+        transform=lambda r, im: np.asarray(im.resize((8, 8)), np.float32) / 255.0,
+        training=False,
+        num_streams=2,  # parallel tar readers per host
+    )
+    hist_fn = jax.jit(
+        lambda l: jnp.zeros((n_samples,), jnp.int32).at[l].add(1),
+        in_shardings=(batch_sharding(mesh),),
+        out_shardings=replicated(mesh),
+    )
+    hist = np.zeros(n_samples, np.int64)
+    n_batches = 0
+    for b_images, b_labels in loader:
+        gi, gl = shard_batch((b_images, b_labels), mesh)
+        assert gi.shape[0] == 8, gi.shape  # assembled global view
+        hist += np.asarray(hist_fn(gl))
+        n_batches += 1
+    record.update(wds_hist=hist.tolist(), wds_batches=n_batches)
+
     with open(out_path, "w") as f:
         json.dump(record, f)
     jax.distributed.shutdown()

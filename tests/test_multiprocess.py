@@ -97,6 +97,15 @@ def test_shard_for_host_disjoint_and_complete(worker_records):
     assert all(parts), "some process got zero shards"
 
 
+def test_wds_global_exactly_once(worker_records):
+    """16 samples across 4 tar shards, per-host disjoint shards, 2 parallel
+    reader streams per host, global batch 8 assembled from both processes:
+    the global label histogram must be exactly one of each."""
+    for rec in worker_records:
+        assert rec["wds_hist"] == [1] * 16, rec["wds_hist"]
+        assert rec["wds_batches"] == 2  # 16 samples / global batch 8
+
+
 def test_losses_match_single_process_oracle(worker_records):
     """3 train steps + eval assembled from process-local data must equal the
     same computation run in ONE process on 4 local devices."""

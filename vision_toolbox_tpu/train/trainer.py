@@ -171,12 +171,21 @@ class Trainer:
             )
 
     # ------------------------------------------------------------------
+    @property
+    def _local_batch(self) -> int:
+        """Per-host rows of the global batch: each process feeds
+        1/process_count of every batch (the reference's per-rank batch
+        division, data.py:65-66) and `shard_batch` assembles the global
+        array from the local slices."""
+        return max(1, self.cfg.data.batch_size // jax.process_count())
+
     def _build_data(self):
         cfg = self.cfg
+        local_bs = self._local_batch
         if cfg.data.synthetic or cfg.data.train_dir is None:
             steps = max(1, cfg.data.train_size // max(cfg.data.batch_size, 1)) if cfg.data.train_size else 10
-            train = SyntheticData(cfg.data.batch_size, cfg.data.train_crop_size, cfg.model.num_classes, steps)
-            val = SyntheticData(cfg.data.batch_size, cfg.data.val_crop_size, cfg.model.num_classes, 2)
+            train = SyntheticData(local_bs, cfg.data.train_crop_size, cfg.model.num_classes, steps)
+            val = SyntheticData(local_bs, cfg.data.val_crop_size, cfg.model.num_classes, 2)
             return train, val, len(train)
 
         from ..data import DataLoader, ImageFolder, train_transform, val_transform
@@ -192,14 +201,14 @@ class Trainer:
                 cfg.data.train_size // cfg.data.batch_size if cfg.data.train_size else None
             )
             train = WebDatasetLoader(
-                train_shards, cfg.data.batch_size,
+                train_shards, local_bs,
                 transform=lambda r, im: train_transform(r, im, cfg.data.train_crop_size),
                 training=True, num_batches=num_batches, seed=cfg.train.seed,
                 num_streams=cfg.data.num_workers,  # ref num_workers: 8 (base.yaml)
             )
             val = (
                 WebDatasetLoader(
-                    val_shards, cfg.data.batch_size,
+                    val_shards, local_bs,
                     transform=lambda r, im: val_transform(
                         im, cfg.data.val_resize_size, cfg.data.val_crop_size
                     ),
@@ -224,19 +233,19 @@ class Trainer:
                 raise RuntimeError("data.native_decode=true but native/libvttdata.so "
                                    "is unavailable (run `make -C native`)")
             train = NativeJPEGLoader(
-                train_ds, cfg.data.batch_size, cfg.data.train_crop_size,
+                train_ds, local_bs, cfg.data.train_crop_size,
                 num_threads=cfg.data.num_workers, seed=cfg.train.seed,
             )
         else:
             train = DataLoader(
-                train_ds, cfg.data.batch_size,
+                train_ds, local_bs,
                 transform=lambda r, im: train_transform(r, im, cfg.data.train_crop_size),
                 shuffle=True, drop_last=True, num_workers=cfg.data.num_workers,
                 seed=cfg.train.seed,
             )
         val = (
             DataLoader(
-                val_ds, cfg.data.batch_size,
+                val_ds, local_bs,
                 transform=lambda r, im: val_transform(
                     im, cfg.data.val_resize_size, cfg.data.val_crop_size
                 ),
@@ -340,7 +349,7 @@ class Trainer:
             # reference CLI degrades gracefully without val data (Lightning)
             print("evaluate: no validation data configured (data.val_dir unset)")
             return {}
-        nominal = self.cfg.data.batch_size
+        nominal = self._local_batch
         # device-side accumulator [loss_sum, correct, correct5, count]: the
         # whole val epoch runs with zero host syncs, ONE readback at the end
         # (each float() costs a ~24 ms tunnel roundtrip — see CLAUDE.md)
