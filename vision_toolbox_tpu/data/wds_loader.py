@@ -83,6 +83,17 @@ class WebDatasetLoader:
             groups = [g for g in groups if g]
             q: queue.Queue = queue.Queue(maxsize=4 * self.batch_size)
             _SENTINEL = object()
+            cancel = threading.Event()
+
+            def put(item) -> bool:
+                """Bounded put that aborts when the consumer is gone."""
+                while not cancel.is_set():
+                    try:
+                        q.put(item, timeout=0.1)
+                        return True
+                    except queue.Full:
+                        continue
+                return False
 
             def work(idx: int, group: list[str]):
                 srng = random.Random((epoch_seed, cycle, idx).__hash__() & 0x7FFFFFFF)
@@ -93,9 +104,12 @@ class WebDatasetLoader:
                         shuffle_buffer=1000 // len(groups) if self.training else 0,
                         seed=epoch_seed + cycle + idx,
                     ):
-                        q.put((self.transform(srng, sample.image), sample.label))
+                        if not put((self.transform(srng, sample.image), sample.label)):
+                            return
+                except BaseException as exc:  # surface corrupt-shard/decode errors
+                    put((_SENTINEL, exc))
                 finally:
-                    q.put(_SENTINEL)
+                    put((_SENTINEL, None))
 
             threads = [
                 threading.Thread(target=work, args=(i, g), daemon=True)
@@ -103,15 +117,34 @@ class WebDatasetLoader:
             ]
             for t in threads:
                 t.start()
-            live = len(threads)
-            while live:
-                item = q.get()
-                if item is _SENTINEL:
-                    live -= 1
-                    continue
-                yield item
-            for t in threads:
-                t.join()
+            try:
+                live = len(threads)
+                error: BaseException | None = None
+                while live:
+                    item = q.get()
+                    if isinstance(item, tuple) and item[0] is _SENTINEL:
+                        if item[1] is not None and error is None:
+                            error = item[1]
+                        else:
+                            live -= 1
+                        continue
+                    yield item
+                if error is not None:
+                    raise RuntimeError("wds reader stream failed") from error
+                for t in threads:
+                    t.join()
+            finally:
+                # Consumer abandoned mid-epoch (num_batches truncation, break,
+                # raise): unblock any reader parked on the full queue and drain
+                # so the threads exit instead of leaking decoded batches.
+                cancel.set()
+                try:
+                    while True:
+                        q.get_nowait()
+                except queue.Empty:
+                    pass
+                for t in threads:
+                    t.join(timeout=5.0)
 
         def batches(cycle: int = 0):
             source = parallel_samples if self.num_streams > 1 else transformed_samples

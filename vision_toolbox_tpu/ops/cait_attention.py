@@ -266,5 +266,18 @@ def talking_head_attention(
 
 
 def use_talking_head_kernel(t: int, s: int, n_heads: int) -> bool:
-    """Dispatch: measured decision recorded in BENCHMARKS.md."""
-    return jax.default_backend() == "tpu" and t <= MAX_T and s <= MAX_T and n_heads <= 16
+    """Dispatch: measured decision recorded in BENCHMARKS.md.
+
+    The backward kernel keeps ~6 head-stacked (T,S) f32 intermediates live
+    per program (raw, probs, dmixw, dprobs, dmixl, draw), so the gate is a
+    byte budget over that live set — not independent caps — or a model
+    inside naive caps (e.g. H=16, T=S=512 ≈ 100 MB) would fail Mosaic
+    compilation at train time against the ~16 MB VMEM arena."""
+    live_bytes = 6 * n_heads * t * s * 4
+    return (
+        jax.default_backend() == "tpu"
+        and t <= MAX_T
+        and s <= MAX_T
+        and n_heads <= 16
+        and live_bytes <= 12 * 1024 * 1024
+    )

@@ -177,6 +177,13 @@ class Trainer:
         1/process_count of every batch (the reference's per-rank batch
         division, data.py:65-66) and `shard_batch` assembles the global
         array from the local slices."""
+        if self.cfg.data.batch_size % jax.process_count() != 0:
+            raise ValueError(
+                f"data.batch_size={self.cfg.data.batch_size} must be divisible "
+                f"by process_count={jax.process_count()}: a silent floor would "
+                "shrink the effective global batch while steps_per_epoch and "
+                "the lr schedule still assume the configured one"
+            )
         return max(1, self.cfg.data.batch_size // jax.process_count())
 
     def _build_data(self):
@@ -286,9 +293,18 @@ class Trainer:
             except ValueError:  # not in the main thread
                 pass
 
+        self._trace_open = False
         try:
             return self._fit_loop(cfg, rng, prefetch_to_device)
         finally:
+            # If training ended (or was preempted) before the profiled window
+            # closed, the trace would be left open/corrupt — always stop it.
+            if self._trace_open:
+                try:
+                    jax.profiler.stop_trace()
+                except Exception:
+                    pass
+                self._trace_open = False
             for sig, h in old_handlers.items():
                 signal.signal(sig, h)
 
@@ -304,12 +320,14 @@ class Trainer:
                     profiled = True
                     trace_dir = os.path.join(cfg.runtime.out_dir, "profile")
                     jax.profiler.start_trace(trace_dir)
+                    self._trace_open = True
                 if (
                     cfg.runtime.profile_steps
                     and profiled
                     and step_now == 2 + cfg.runtime.profile_steps
                 ):
                     jax.profiler.stop_trace()
+                    self._trace_open = False
                     self._log({"profile_trace": os.path.join(cfg.runtime.out_dir, "profile")})
                 for _ in range(max(1, cfg.data.echo)):
                     # each echo folds a new step count into the RNG, so the
