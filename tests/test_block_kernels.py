@@ -1,0 +1,294 @@
+"""Fused transformer-block kernels (ops/block_mlp.py, ops/block_attention.py)
+vs XLA oracles, in interpret mode on CPU.
+
+Two tolerance regimes:
+- kernel-level tests use a CAST-MATCHED oracle (same bf16 rounding points,
+  same erf approximation) → tight f32 tolerances;
+- module-level tests compare the fused ViTBlock path against the unfused
+  XLA chain in f32 params → bf16-level tolerances (the kernels compute
+  their matmuls in bf16 by design, exactly like the production dtype).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+import vision_toolbox_tpu.ops.block_attention as ba
+import vision_toolbox_tpu.ops.block_mlp as bm
+from vision_toolbox_tpu.nn.attention import ViTBlock
+
+
+def _ln(x, s, b, eps):
+    mu = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.mean(x * x, axis=-1, keepdims=True) - mu * mu
+    return (x - mu) * jax.lax.rsqrt(var + eps) * s + b
+
+
+def _bdot(a, b):
+    """bf16×bf16 matmul accumulating f32 — the kernels' rounding points."""
+    return jax.lax.dot_general(
+        a.astype(jnp.bfloat16), b.astype(jnp.bfloat16),
+        (((a.ndim - 1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+    )
+
+
+def mlp_oracle(x, lns, lnb, w1, b1, w2, b2, ls, dp, eps=1e-6):
+    xf = x.astype(jnp.float32)
+    y2 = _ln(xf, lns, lnb, eps).astype(jnp.bfloat16)
+    h = (_bdot(y2, w1) + b1).astype(jnp.bfloat16)
+    g = bm._gelu_f32(h.astype(jnp.float32)).astype(jnp.bfloat16)
+    mlp = _bdot(g, w2) + b2
+    scale = (dp[:, :, None] if dp is not None else 1.0) * (ls if ls is not None else 1.0)
+    return (xf + scale * mlp).astype(x.dtype)
+
+
+def attn_oracle(x, lns, lnb, wq, bq, wk, bk, wv, bv, wo, bo, n_heads, ls, dp, eps=1e-6):
+    B, T, D = x.shape
+    hd = D // n_heads
+    xf = x.astype(jnp.float32)
+    y = _ln(xf, lns, lnb, eps).astype(jnp.bfloat16)
+    q = (_bdot(y, wq) + bq).astype(jnp.bfloat16)
+    k = (_bdot(y, wk) + bk).astype(jnp.bfloat16)
+    v = (_bdot(y, wv) + bv).astype(jnp.bfloat16)
+    outs = []
+    for hidx in range(n_heads):
+        sl = slice(hidx * hd, (hidx + 1) * hd)
+        logits = jnp.einsum(
+            "bth,bsh->bts",
+            q[:, :, sl].astype(jnp.float32) * hd**-0.5,
+            k[:, :, sl].astype(jnp.float32),
+        )
+        p = jax.nn.softmax(logits, axis=-1)
+        outs.append(
+            jnp.einsum(
+                "bts,bsh->bth",
+                p.astype(jnp.bfloat16).astype(jnp.float32),
+                v[:, :, sl].astype(jnp.float32),
+            )
+        )
+    o = jnp.concatenate(outs, axis=-1).astype(jnp.bfloat16)
+    proj = _bdot(o, wo) + bo
+    scale = (dp[:, :, None] if dp is not None else 1.0) * (ls if ls is not None else 1.0)
+    return (xf + scale * proj).astype(x.dtype)
+
+
+def _mlp_args(B=3, T=17, D=128, Dh=256, seed=0, ls=True, dp=True):
+    ks = jax.random.split(jax.random.PRNGKey(seed), 8)
+    a = {
+        "x": jax.random.normal(ks[0], (B, T, D), jnp.float32),
+        "lns": 1.0 + 0.1 * jax.random.normal(ks[1], (D,), jnp.float32),
+        "lnb": 0.1 * jax.random.normal(ks[2], (D,), jnp.float32),
+        "w1": jax.random.normal(ks[3], (D, Dh), jnp.float32) * D**-0.5,
+        "b1": 0.1 * jax.random.normal(ks[4], (Dh,), jnp.float32),
+        "w2": jax.random.normal(ks[5], (Dh, D), jnp.float32) * Dh**-0.5,
+        "b2": 0.1 * jax.random.normal(ks[6], (D,), jnp.float32),
+    }
+    a["ls"] = 0.5 + 0.2 * jax.random.normal(ks[7], (D,), jnp.float32) if ls else None
+    a["dp"] = (
+        (jax.random.bernoulli(ks[7], 0.8, (B, 1)) / 0.8).astype(jnp.float32) if dp else None
+    )
+    return a
+
+
+@pytest.mark.parametrize("ls,dp,group", [(True, True, 1), (False, False, 2), (True, False, 3)])
+def test_fused_mlp_forward(ls, dp, group):
+    a = _mlp_args(ls=ls, dp=dp)
+    got = bm.fused_mlp_block(
+        a["x"], a["lns"], a["lnb"], a["w1"], a["b1"], a["w2"], a["b2"],
+        a["ls"], a["dp"], group=group,
+    )
+    want = mlp_oracle(a["x"], a["lns"], a["lnb"], a["w1"], a["b1"], a["w2"], a["b2"], a["ls"], a["dp"])
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-4)
+
+
+def test_fused_mlp_hidden_tiling():
+    # Dh > 1536 exercises the inner hidden-tile grid axis (nj > 1)
+    a = _mlp_args(B=2, T=9, D=256, Dh=2048, seed=3)
+    got = bm.fused_mlp_block(
+        a["x"], a["lns"], a["lnb"], a["w1"], a["b1"], a["w2"], a["b2"], a["ls"], a["dp"]
+    )
+    want = mlp_oracle(a["x"], a["lns"], a["lnb"], a["w1"], a["b1"], a["w2"], a["b2"], a["ls"], a["dp"])
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("ls", [True, False])
+def test_fused_mlp_grads(ls):
+    a = _mlp_args(B=2, T=13, D=128, Dh=384, seed=1, ls=ls)
+    names = ["x", "lns", "lnb", "w1", "b1", "w2", "b2"] + (["ls"] if ls else [])
+    w = jnp.cos(jnp.arange(128))
+
+    def loss(fn):
+        def f(*args):
+            kw = dict(zip(names, args))
+            out = fn(
+                kw["x"], kw["lns"], kw["lnb"], kw["w1"], kw["b1"], kw["w2"], kw["b2"],
+                kw.get("ls", None), a["dp"],
+            )
+            return jnp.sum(out * w)
+        return f
+
+    args = [a[n] for n in names]
+    ga = jax.grad(loss(bm.fused_mlp_block), argnums=tuple(range(len(names))))(*args)
+    gb = jax.grad(loss(mlp_oracle), argnums=tuple(range(len(names))))(*args)
+    for n, x, y in zip(names, ga, gb):
+        # backward matmuls run bf16 in-kernel; oracle's autodiff re-derives
+        # them from the f32 graph → bf16-level agreement, normalized by the
+        # grad's own magnitude (tiny elements of row-summed grads like dβ_ln
+        # carry the full bf16 absolute error of their large siblings)
+        scale = max(1.0, float(np.max(np.abs(np.asarray(y)))))
+        np.testing.assert_allclose(
+            np.asarray(x) / scale, np.asarray(y) / scale, atol=2e-2, err_msg=f"grad {n}"
+        )
+
+
+def _attn_args(B=3, T=19, D=128, H=4, seed=0, ls=True, dp=True):
+    ks = jax.random.split(jax.random.PRNGKey(seed), 12)
+    a = {"x": jax.random.normal(ks[0], (B, T, D), jnp.float32)}
+    for i, n in enumerate(["wq", "wk", "wv", "wo"]):
+        a[n] = jax.random.normal(ks[1 + i], (D, D), jnp.float32) * D**-0.5
+    for i, n in enumerate(["bq", "bk", "bv", "bo"]):
+        a[n] = 0.1 * jax.random.normal(ks[5 + i], (D,), jnp.float32)
+    a["lns"] = 1.0 + 0.1 * jax.random.normal(ks[9], (D,), jnp.float32)
+    a["lnb"] = 0.1 * jax.random.normal(ks[10], (D,), jnp.float32)
+    a["ls"] = 0.5 + 0.2 * jax.random.normal(ks[11], (D,), jnp.float32) if ls else None
+    a["dp"] = (
+        (jax.random.bernoulli(ks[11], 0.8, (B, 1)) / 0.8).astype(jnp.float32) if dp else None
+    )
+    a["H"] = H
+    return a
+
+
+@pytest.mark.parametrize("ls,dp,group", [(True, True, 1), (False, False, 3)])
+def test_fused_attn_forward(ls, dp, group):
+    a = _attn_args(ls=ls, dp=dp)
+    got = ba.fused_attention_block(
+        a["x"], a["lns"], a["lnb"], a["wq"], a["bq"], a["wk"], a["bk"],
+        a["wv"], a["bv"], a["wo"], a["bo"], a["H"], a["ls"], a["dp"], group=group,
+    )
+    want = attn_oracle(
+        a["x"], a["lns"], a["lnb"], a["wq"], a["bq"], a["wk"], a["bk"],
+        a["wv"], a["bv"], a["wo"], a["bo"], a["H"], a["ls"], a["dp"],
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("ls", [True, False])
+def test_fused_attn_grads(ls):
+    a = _attn_args(B=2, T=11, D=128, H=2, seed=1, ls=ls)
+    names = ["x", "lns", "lnb", "wq", "bq", "wk", "bk", "wv", "bv", "wo", "bo"] + (
+        ["ls"] if ls else []
+    )
+    w = jnp.sin(jnp.arange(128))
+
+    def loss(fn):
+        def f(*args):
+            kw = dict(zip(names, args))
+            out = fn(
+                kw["x"], kw["lns"], kw["lnb"], kw["wq"], kw["bq"], kw["wk"], kw["bk"],
+                kw["wv"], kw["bv"], kw["wo"], kw["bo"], a["H"], kw.get("ls", None), a["dp"],
+            )
+            return jnp.sum(out * w)
+        return f
+
+    args = [a[n] for n in names]
+    ga = jax.grad(loss(ba.fused_attention_block), argnums=tuple(range(len(names))))(*args)
+    gb = jax.grad(loss(attn_oracle), argnums=tuple(range(len(names))))(*args)
+    for n, x, y in zip(names, ga, gb):
+        scale = max(1.0, float(np.max(np.abs(np.asarray(y)))))
+        np.testing.assert_allclose(
+            np.asarray(x) / scale, np.asarray(y) / scale, atol=2e-2, err_msg=f"grad {n}"
+        )
+
+
+# ---------- module-level: ViTBlock fused path vs unfused XLA chain ----------
+
+
+@pytest.fixture
+def force_on(monkeypatch):
+    monkeypatch.setattr(ba, "_FORCE_ON", True)
+    monkeypatch.setattr(bm, "_FORCE_ON", True)
+
+
+@pytest.mark.parametrize("ls_init", [None, 1e-6])
+def test_vitblock_param_tree_identical(force_on, ls_init):
+    """The fused branch must declare the exact same param tree (names,
+    shapes, values from the same rng stream) — checkpoints are the interface."""
+    blk = ViTBlock(128, 4, layer_scale_init=ls_init, stochastic_depth=0.1)
+    x = jnp.zeros((2, 48, 128))
+    v_fused = blk.init({"params": jax.random.PRNGKey(0)}, x)
+
+    bm._FORCE_ON = ba._FORCE_ON = False
+    v_plain = blk.init({"params": jax.random.PRNGKey(0)}, x)
+    bm._FORCE_ON = ba._FORCE_ON = True
+
+    pa = jax.tree_util.tree_leaves_with_path(v_fused)
+    pb = jax.tree_util.tree_leaves_with_path(v_plain)
+    assert [k for k, _ in pa] == [k for k, _ in pb]
+    for (ka, la), (_, lb) in zip(pa, pb):
+        np.testing.assert_array_equal(np.asarray(la), np.asarray(lb), err_msg=str(ka))
+
+
+@pytest.mark.parametrize("ls_init", [None, 0.1])
+def test_vitblock_fused_matches_unfused(force_on, ls_init):
+    blk = ViTBlock(128, 4, layer_scale_init=ls_init)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 48, 128))
+    v = blk.init({"params": jax.random.PRNGKey(0)}, x)
+
+    got = blk.apply(v, x)
+    bm._FORCE_ON = ba._FORCE_ON = False
+    want = blk.apply(v, x)
+    bm._FORCE_ON = ba._FORCE_ON = True
+    # fused kernels round y/q/k/v/h to bf16; the unfused f32 chain does not
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=3e-2, atol=3e-2)
+
+    def loss(v):
+        return jnp.sum(blk.apply(v, x) ** 2)
+
+    g_got = jax.grad(loss)(v)
+    bm._FORCE_ON = ba._FORCE_ON = False
+    g_want = jax.grad(loss)(v)
+    bm._FORCE_ON = ba._FORCE_ON = True
+    flat_a = jax.tree_util.tree_leaves_with_path(g_got)
+    flat_b = jax.tree_util.tree_leaves_with_path(g_want)
+    for (k, a), (_, b) in zip(flat_a, flat_b):
+        scale = max(1.0, float(np.max(np.abs(np.asarray(b)))))
+        np.testing.assert_allclose(
+            np.asarray(a) / scale, np.asarray(b) / scale, atol=3e-2, err_msg=str(k)
+        )
+
+
+def test_vitblock_droppath_rng_stream_matches(force_on):
+    """Train-mode drop-path: the fused path samples (B,1) from the same rng
+    stream the unfused path samples (B,1,1) from — same threefry bits."""
+    blk = ViTBlock(128, 4, stochastic_depth=0.5)
+    x = jax.random.normal(jax.random.PRNGKey(1), (8, 16, 128))
+    v = blk.init({"params": jax.random.PRNGKey(0)}, x)
+    rngs = {"dropout": jax.random.PRNGKey(7)}
+
+    got = blk.apply(v, x, train=True, rngs=rngs)
+    bm._FORCE_ON = ba._FORCE_ON = False
+    want = blk.apply(v, x, train=True, rngs=rngs)
+    bm._FORCE_ON = ba._FORCE_ON = True
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=3e-2, atol=3e-2)
+
+
+def test_dispatch_rules():
+    # CPU backend: dispatch stays off without _FORCE_ON
+    assert not bm.use_fused_mlp(768, 3072, 197, 0.0)
+    assert not ba.use_fused_attention(768, 12, 197, 0.0, True)
+    bm._FORCE_ON = ba._FORCE_ON = True
+    try:
+        assert bm.use_fused_mlp(768, 3072, 197, 0.0)
+        assert ba.use_fused_attention(768, 12, 197, 0.0, True)
+        # ViT-L resident weights exceed the VMEM budget
+        assert not bm.use_fused_mlp(1024, 4096, 197, 0.0)
+        assert not ba.use_fused_attention(1024, 16, 197, 0.0, True)
+        # dropout, non-128 width, long sequences stay on XLA
+        assert not bm.use_fused_mlp(768, 3072, 197, 0.1)
+        assert not bm.use_fused_mlp(192, 768, 197, 0.0)
+        assert not ba.use_fused_attention(768, 12, 1025, 0.0, True)
+        assert not ba.use_fused_attention(768, 12, 197, 0.0, False)
+    finally:
+        bm._FORCE_ON = ba._FORCE_ON = False

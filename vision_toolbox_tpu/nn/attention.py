@@ -131,6 +131,59 @@ class MHA(nn.Module):
         )(out)
 
 
+class _LNParams(nn.Module):
+    """Param-only LayerNorm: declares <name>/{scale,bias} exactly like
+    ``nn.LayerNorm`` (same names, inits, RNG stream) for fused kernels."""
+
+    dim: int
+
+    @nn.compact
+    def __call__(self) -> tuple[jax.Array, jax.Array]:
+        scale = self.param("scale", nn.initializers.ones, (self.dim,))
+        bias = self.param("bias", nn.initializers.zeros, (self.dim,))
+        return scale, bias
+
+
+class _MLPParams(nn.Module):
+    """Param-only twin of ``MLP``: same <name>/linear{1,2}/{kernel,bias}
+    tree (Linear owns its params directly, so _Proj matches its layout)."""
+
+    d_model: int
+    hidden: int
+
+    @nn.compact
+    def __call__(self):
+        w1, b1 = _Proj(self.d_model, self.hidden, name="linear1")()
+        w2, b2 = _Proj(self.hidden, self.d_model, name="linear2")()
+        return w1, b1, w2, b2
+
+
+class _LSParams(nn.Module):
+    """Param-only twin of ``LayerScale``."""
+
+    dim: int
+    init: float
+
+    @nn.compact
+    def __call__(self) -> jax.Array:
+        return self.param("gamma", nn.initializers.constant(self.init), (self.dim,))
+
+
+class _MHAParams(nn.Module):
+    """Param-only twin of ``MHA``'s four projections (same scope names,
+    shapes, inits, RNG stream) for the fused attention-block kernel."""
+
+    d_model: int
+
+    @nn.compact
+    def __call__(self):
+        wq, bq = _Proj(self.d_model, self.d_model, name="q_proj")()
+        wk, bk = _Proj(self.d_model, self.d_model, name="k_proj")()
+        wv, bv = _Proj(self.d_model, self.d_model, name="v_proj")()
+        wo, bo = _Proj(self.d_model, self.d_model, name="out_proj")()
+        return wq, bq, wk, bk, wv, bv, wo, bo
+
+
 class MLP(nn.Module):
     """linear1 → GELU → linear2 → dropout (ref vit.py:51-57)."""
 
@@ -166,21 +219,82 @@ class ViTBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
-        attn_cls = self.attention
-        if attn_cls is None:
-            attn_cls = lambda name: MHA(
-                self.d_model, self.n_heads, self.bias, self.dropout,
-                dtype=self.dtype, name=name,
+        from ..ops.block_attention import fused_attention_block, use_fused_attention
+
+        if (
+            self.attention is None
+            and x.ndim == 3
+            and use_fused_attention(self.d_model, self.n_heads, x.shape[1], self.dropout, self.bias)
+        ):
+            # Fused LN→QKV→attention→out-proj→LayerScale→drop-path→residual
+            # Pallas program (ops/block_attention.py); params identical to
+            # the unfused branch below.
+            from flax.linen import dtypes
+
+            lns, lnb = _LNParams(self.d_model, name="mha_norm")()
+            wq, bq, wk, bk, wv, bv, wo, bo = _MHAParams(self.d_model, name="mha")()
+            ls = (
+                _LSParams(self.d_model, self.layer_scale_init, name="mha_scale")()
+                if self.layer_scale_init is not None
+                else None
             )
-        y = nn.LayerNorm(self.norm_eps, dtype=self.dtype, name="mha_norm")(x)
-        y = attn_cls(name="mha")(y, train=train)
-        if self.layer_scale_init is not None:
-            y = LayerScale(self.layer_scale_init, name="mha_scale")(y)
-        y = StochasticDepth(self.stochastic_depth, name="mha_droppath")(y, train=train)
-        x = x + y
+            dp = StochasticDepth(self.stochastic_depth, name="mha_droppath").sample_scale(
+                x.shape[0], train
+            )
+            xb, lns, lnb, wq, bq, wk, bk, wv, bv, wo, bo = dtypes.promote_dtype(
+                x, lns, lnb, wq, bq, wk, bk, wv, bv, wo, bo, dtype=self.dtype
+            )
+            if ls is not None:
+                ls = ls.astype(xb.dtype)
+            x = fused_attention_block(
+                xb, lns, lnb, wq, bq, wk, bk, wv, bv, wo, bo,
+                self.n_heads, ls, dp, eps=self.norm_eps,
+            ).astype(x.dtype)
+        else:
+            attn_cls = self.attention
+            if attn_cls is None:
+                attn_cls = lambda name: MHA(
+                    self.d_model, self.n_heads, self.bias, self.dropout,
+                    dtype=self.dtype, name=name,
+                )
+            y = nn.LayerNorm(self.norm_eps, dtype=self.dtype, name="mha_norm")(x)
+            y = attn_cls(name="mha")(y, train=train)
+            if self.layer_scale_init is not None:
+                y = LayerScale(self.layer_scale_init, name="mha_scale")(y)
+            y = StochasticDepth(self.stochastic_depth, name="mha_droppath")(y, train=train)
+            x = x + y
+
+        hidden = int(self.d_model * self.mlp_ratio)
+        from ..ops.block_mlp import fused_mlp_block, use_fused_mlp
+
+        if x.ndim == 3 and use_fused_mlp(self.d_model, hidden, x.shape[1], self.dropout):
+            # Fused LN→W1→GELU→W2→LayerScale→drop-path→residual Pallas
+            # program (ops/block_mlp.py). Param tree identical to the
+            # unfused branch below (param-only twin modules, same names,
+            # inits, and RNG stream).
+            from flax.linen import dtypes
+
+            lns, lnb = _LNParams(self.d_model, name="mlp_norm")()
+            w1, b1, w2, b2 = _MLPParams(self.d_model, hidden, name="mlp")()
+            ls = (
+                _LSParams(self.d_model, self.layer_scale_init, name="mlp_scale")()
+                if self.layer_scale_init is not None
+                else None
+            )
+            dp = StochasticDepth(self.stochastic_depth, name="mlp_droppath").sample_scale(
+                x.shape[0], train
+            )
+            xb, lns, lnb, w1, b1, w2, b2 = dtypes.promote_dtype(
+                x, lns, lnb, w1, b1, w2, b2, dtype=self.dtype
+            )
+            if ls is not None:
+                ls = ls.astype(xb.dtype)
+            return fused_mlp_block(
+                xb, lns, lnb, w1, b1, w2, b2, ls, dp, eps=self.norm_eps
+            ).astype(x.dtype)
 
         y = nn.LayerNorm(self.norm_eps, dtype=self.dtype, name="mlp_norm")(x)
-        y = MLP(int(self.d_model * self.mlp_ratio), self.dropout, dtype=self.dtype, name="mlp")(y, train=train)
+        y = MLP(hidden, self.dropout, dtype=self.dtype, name="mlp")(y, train=train)
         if self.layer_scale_init is not None:
             y = LayerScale(self.layer_scale_init, name="mlp_scale")(y)
         y = StochasticDepth(self.stochastic_depth, name="mlp_droppath")(y, train=train)

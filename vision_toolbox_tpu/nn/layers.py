@@ -278,6 +278,17 @@ class StochasticDepth(nn.Module):
         mask = jax.random.bernoulli(rng, keep_p, shape)
         return x * mask.astype(x.dtype) / keep_p
 
+    def sample_scale(self, batch: int, train: bool = False) -> jax.Array | None:
+        """(batch, 1) mask/keep_p scale for fused kernels (ops/block_mlp.py),
+        drawn from the SAME rng stream as ``__call__`` (same scope, one
+        make_rng either way), or None when this is an identity."""
+        if not train or self.p == 0.0:
+            return None
+        keep_p = 1.0 - self.p
+        rng = self.make_rng("dropout")
+        mask = jax.random.bernoulli(rng, keep_p, (batch, 1))
+        return mask.astype(jnp.float32) / keep_p
+
 
 class LayerScale(nn.Module):
     """Learnable per-channel γ multiplier (reference components.py:183-192)."""

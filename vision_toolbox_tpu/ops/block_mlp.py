@@ -1,0 +1,424 @@
+"""Fused transformer MLP half-block — Pallas TPU kernel.
+
+Computes ``out = x + drop_path · layer_scale · (gelu(LN(x) @ W1 + b1) @ W2 + b2)``
+in one kernel per (image-group, hidden-tile) grid step, replacing the XLA
+chain LayerNorm → Linear → GELU → Linear → LayerScale → StochasticDepth →
+residual (reference block structure: vit.py:60-92, mlp at vit.py:51-57).
+
+Why: vit_b_16 train sits at 61% of its HBM roof (BENCHMARKS.md roofline);
+the written round-3 analysis attributes the gap to *phase alternation* —
+bandwidth-bound LN/GELU phases interleaved with compute-bound matmuls, each
+crossing HBM. Here the LN (VPU) runs on the resident tile feeding the W1
+matmul (MXU) directly, GELU runs on the resident hidden tile feeding W2,
+and the residual add happens in the epilogue: activation traffic is exactly
+x in, (out, y2, h) out — y2/h are saved for the backward's weight-gradient
+matmuls, which is what XLA's autodiff saves too, so the kernel adds ZERO
+recompute matmul FLOPs (the byte floor is the target; the MXU floor must
+not move).
+
+Memory plan (per core, v5e ~16 MB VMEM): W1ᵀ and W2 live as full
+constant-index blocks — fetched ONCE for the whole grid — in (Dh, D)
+layout so the per-tile slice is a supported dynamic *sublane* slice; the
+per-tile bias lives as a (nj, ht) table sliced by row. The hidden dimension
+is tiled over the inner grid axis so the (rows, Dh) tensors never exist in
+VMEM, only (rows, ht) tiles.
+
+Backward = one Pallas kernel (K1) + two XLA matmuls:
+  K1 (same grid): recomputes the LN statistics (VPU-only — free in FLOPs),
+  streams the saved h tiles to produce dh = (dout·dp·γ_ls)@W2ᵀ ⊙ gelu'(h),
+  accumulates dy2 = Σ_j dh_j@W1_jᵀ in VMEM and finishes with the LayerNorm
+  backward to emit dx; db1/db2/dγ_ln/dβ_ln/dγ_ls accumulate across grid
+  programs in constant-index f32 output blocks.
+  XLA: dW1 = y2ᵀ@dh and dW2 = gelu(h)ᵀ@(dout·dp·γ_ls) — plain big matmuls
+  the MXU already runs at peak; fusing them in-kernel would need ~19 MB of
+  f32 accumulators.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_SQRT_2 = math.sqrt(2.0)
+_INV_SQRT_2PI = 1.0 / math.sqrt(2.0 * math.pi)
+
+
+def _erf_f32(x):
+    """erf via Abramowitz–Stegun 7.1.26 (max abs error 1.5e-7 — far below
+    bf16 resolution). Mosaic has no erf lowering; this uses only exp/mul/add.
+    """
+    a1, a2, a3, a4, a5 = 0.254829592, -0.284496736, 1.421413741, -1.453152027, 1.061405429
+    ax = jnp.abs(x)
+    t = 1.0 / (1.0 + 0.3275911 * ax)
+    y = 1.0 - ((((a5 * t + a4) * t + a3) * t + a2) * t + a1) * t * jnp.exp(-ax * ax)
+    return jnp.where(x < 0, -y, y)
+
+
+def _gelu_f32(h):
+    return 0.5 * h * (1.0 + _erf_f32(h / _SQRT_2))
+
+
+def _gelu_grad_f32(h):
+    return 0.5 * (1.0 + _erf_f32(h / _SQRT_2)) + h * jnp.exp(-0.5 * h * h) * _INV_SQRT_2PI
+
+
+def _pick_hidden_tile(dh: int) -> int:
+    if dh <= 1536:
+        return dh
+    for ht in (1024, 768, 512, 384, 256, 128):
+        if dh % ht == 0:
+            return ht
+    return dh
+
+
+def _pick_group(b: int, group: int) -> int:
+    g = min(group, b)
+    while b % g:
+        g -= 1
+    return g
+
+
+def _dp_rows(dp_ref, i, g: int, t: int):
+    """Per-sample drop-path scales (SMEM (B, 1) array, program i covers
+    samples i·G..i·G+G) → (G·T, 1) f32 row scale."""
+    rows = [jnp.full((t, 1), dp_ref[i * g + gg, 0], jnp.float32) for gg in range(g)]
+    return jnp.concatenate(rows, axis=0) if g > 1 else rows[0]
+
+
+_SMEM_SPEC = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)
+
+
+def _ln_f32(x, eps: float):
+    """Fast-variance LayerNorm statistics (flax semantics)."""
+    mu = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.mean(x * x, axis=-1, keepdims=True) - mu * mu
+    rstd = jax.lax.rsqrt(var + eps)
+    return (x - mu) * rstd, rstd
+
+
+def _fwd_kernel(
+    x_ref, lns_ref, lnb_ref, w1t_ref, b1_ref, w2_ref, b2_ref, ls_ref, dp_ref,
+    out_ref, y2_ref, h_ref, *rest,
+    nj: int, ht: int, eps: float, has_ls: bool,
+):
+    if has_ls:
+        mlpout_ref, y2_scr, acc_scr = rest
+    else:
+        y2_scr, acc_scr = rest
+    i = pl.program_id(0)  # hoisted: program_id inside a pl.when body
+    j = pl.program_id(1)  # does not lower in interpret mode
+    G, T, D = x_ref.shape
+    rows = G * T
+
+    @pl.when(j == 0)
+    def _():
+        x = x_ref[...].reshape(rows, D).astype(jnp.float32)
+        xhat, _ = _ln_f32(x, eps)
+        y2 = xhat * lns_ref[0].astype(jnp.float32) + lnb_ref[0].astype(jnp.float32)
+        y2b = y2.astype(jnp.bfloat16)
+        y2_scr[...] = y2b
+        y2_ref[...] = y2b.reshape(G, T, D).astype(y2_ref.dtype)
+        acc_scr[...] = jnp.zeros_like(acc_scr)
+
+    w1j = w1t_ref[pl.ds(j * ht, ht), :]  # (ht, D) — sublane slice of resident W1ᵀ
+    b1j = b1_ref[0]  # (1, ht) — BlockSpec row (j, 0, 0): Mosaic can't prove a
+    # dynamic in-kernel sublane index aligned, so the pipeline slices it
+    hf = jax.lax.dot_general(
+        y2_scr[...], w1j, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) + b1j.astype(jnp.float32)
+    hb = hf.astype(jnp.bfloat16)
+    h_ref[...] = hb.reshape(G, T, ht)
+    g = _gelu_f32(hb.astype(jnp.float32)).astype(jnp.bfloat16)
+    w2j = w2_ref[pl.ds(j * ht, ht), :]  # (ht, D)
+    acc_scr[...] += jnp.dot(g, w2j, preferred_element_type=jnp.float32)
+
+    @pl.when(j == nj - 1)
+    def _():
+        mlp = acc_scr[...] + b2_ref[0].astype(jnp.float32)
+        if has_ls:
+            mlpout_ref[...] = mlp.astype(mlpout_ref.dtype).reshape(G, T, D)
+        scale = _dp_rows(dp_ref, i, G, T) * ls_ref[0].astype(jnp.float32)
+        out = x_ref[...].reshape(rows, D).astype(jnp.float32) + scale * mlp
+        out_ref[...] = out.astype(out_ref.dtype).reshape(G, T, D)
+
+
+def _bwd_kernel(
+    x_ref, dout_ref, h_ref, w1t_ref, w2_ref, lns_ref, ls_ref, dp_ref, *rest,
+    nj: int, ht: int, eps: float, has_ls: bool,
+):
+    if has_ls:
+        (mlpout_ref, dx_ref, dh_ref, db1_ref, db2_ref, dlns_ref, dlnb_ref,
+         dls_ref, xhat_scr, rstd_scr, douts_scr, dy2_scr) = rest
+    else:
+        (dx_ref, dh_ref, db1_ref, db2_ref, dlns_ref, dlnb_ref,
+         xhat_scr, rstd_scr, douts_scr, dy2_scr) = rest
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    G, T, D = x_ref.shape
+    rows = G * T
+
+    @pl.when((i == 0) & (j == 0))
+    def _():
+        db1_ref[...] = jnp.zeros_like(db1_ref)
+        db2_ref[...] = jnp.zeros_like(db2_ref)
+        dlns_ref[...] = jnp.zeros_like(dlns_ref)
+        dlnb_ref[...] = jnp.zeros_like(dlnb_ref)
+        if has_ls:
+            dls_ref[...] = jnp.zeros_like(dls_ref)
+
+    @pl.when(j == 0)
+    def _():
+        x = x_ref[...].reshape(rows, D).astype(jnp.float32)
+        xhat, rstd = _ln_f32(x, eps)
+        xhat_scr[...] = xhat
+        rstd_scr[...] = rstd
+        dout = dout_ref[...].reshape(rows, D).astype(jnp.float32)
+        dprow = _dp_rows(dp_ref, i, G, T)
+        douts = dout * dprow * ls_ref[0].astype(jnp.float32)
+        douts_scr[...] = douts.astype(jnp.bfloat16)
+        db2_ref[...] += jnp.sum(douts, axis=0, keepdims=True)
+        if has_ls:
+            mlp = mlpout_ref[...].reshape(rows, D).astype(jnp.float32)
+            dls_ref[...] += jnp.sum(dout * dprow * mlp, axis=0, keepdims=True)
+        dy2_scr[...] = jnp.zeros_like(dy2_scr)
+
+    hb = h_ref[...].reshape(rows, ht)
+    w2j = w2_ref[pl.ds(j * ht, ht), :]  # (ht, D)
+    dg = jax.lax.dot_general(
+        douts_scr[...], w2j, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )  # (rows, ht)
+    dh = dg * _gelu_grad_f32(hb.astype(jnp.float32))
+    dhb = dh.astype(jnp.bfloat16)
+    dh_ref[...] = dhb.reshape(G, T, ht)
+    # masked accumulate into row j of the resident (nj, ht) block — a dynamic
+    # sublane store is not provably aligned for Mosaic; nj·ht is tiny
+    row = jax.lax.broadcasted_iota(jnp.int32, (nj, ht), 0)
+    db1_ref[...] += jnp.where(
+        row == j, jnp.broadcast_to(jnp.sum(dh, axis=0, keepdims=True), (nj, ht)), 0.0
+    )
+    w1j = w1t_ref[pl.ds(j * ht, ht), :]  # (ht, D)
+    dy2_scr[...] += jnp.dot(dhb, w1j, preferred_element_type=jnp.float32)
+
+    @pl.when(j == nj - 1)
+    def _():
+        dy2 = dy2_scr[...]
+        xhat = xhat_scr[...]
+        dlns_ref[...] += jnp.sum(dy2 * xhat, axis=0, keepdims=True)
+        dlnb_ref[...] += jnp.sum(dy2, axis=0, keepdims=True)
+        dxh = dy2 * lns_ref[0].astype(jnp.float32)
+        m1 = jnp.mean(dxh, axis=-1, keepdims=True)
+        m2 = jnp.mean(dxh * xhat, axis=-1, keepdims=True)
+        dx_ln = rstd_scr[...] * (dxh - m1 - xhat * m2)
+        dout = dout_ref[...].reshape(rows, D).astype(jnp.float32)
+        dx_ref[...] = (dout + dx_ln).astype(dx_ref.dtype).reshape(G, T, D)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10, 11, 12))
+def _fused_mlp(x, lns, lnb, w1, b1, w2, b2, ls, dp, group, has_ls, interpret, eps):
+    out, _ = _fused_mlp_fwd(x, lns, lnb, w1, b1, w2, b2, ls, dp, group, has_ls, interpret, eps)
+    return out
+
+
+def _common(x, w1, group):
+    B, T, D = x.shape
+    Dh = w1.shape[1]
+    ht = _pick_hidden_tile(Dh)
+    nj = Dh // ht
+    G = _pick_group(B, group)
+    return B, T, D, Dh, ht, nj, G
+
+
+def _row2(a):
+    return a.reshape(1, -1)
+
+
+def _fused_mlp_fwd(x, lns, lnb, w1, b1, w2, b2, ls, dp, group, has_ls, interpret, eps):
+    B, T, D, Dh, ht, nj, G = _common(x, w1, group)
+    w1t = w1.T  # (Dh, D); one-time relayout, negligible vs activation traffic
+    out_shapes = [
+        jax.ShapeDtypeStruct((B, T, D), x.dtype),  # out
+        jax.ShapeDtypeStruct((B, T, D), jnp.bfloat16),  # y2 (saved for dW1)
+        jax.ShapeDtypeStruct((B, T, Dh), jnp.bfloat16),  # h (saved for bwd)
+    ]
+    out_specs = [
+        pl.BlockSpec((G, T, D), lambda i, j: (i, 0, 0)),
+        pl.BlockSpec((G, T, D), lambda i, j: (i, 0, 0)),
+        pl.BlockSpec((G, T, ht), lambda i, j: (i, 0, j)),
+    ]
+    if has_ls:
+        out_shapes.append(jax.ShapeDtypeStruct((B, T, D), jnp.bfloat16))  # mlpout
+        out_specs.append(pl.BlockSpec((G, T, D), lambda i, j: (i, 0, 0)))
+    outs = pl.pallas_call(
+        functools.partial(_fwd_kernel, nj=nj, ht=ht, eps=eps, has_ls=has_ls),
+        grid=(B // G, nj),
+        in_specs=[
+            pl.BlockSpec((G, T, D), lambda i, j: (i, 0, 0)),  # x
+            pl.BlockSpec((1, D), lambda i, j: (0, 0)),  # ln scale
+            pl.BlockSpec((1, D), lambda i, j: (0, 0)),  # ln bias
+            pl.BlockSpec((Dh, D), lambda i, j: (0, 0)),  # W1ᵀ (resident)
+            pl.BlockSpec((1, 1, ht), lambda i, j: (j, 0, 0)),  # b1 row for tile j
+            pl.BlockSpec((Dh, D), lambda i, j: (0, 0)),  # W2 (resident)
+            pl.BlockSpec((1, D), lambda i, j: (0, 0)),  # b2
+            pl.BlockSpec((1, D), lambda i, j: (0, 0)),  # layer-scale γ (ones if absent)
+            _SMEM_SPEC(),  # drop-path scale (SMEM, whole array)
+        ],
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        scratch_shapes=[
+            pltpu.VMEM((G * T, D), jnp.bfloat16),  # y2
+            pltpu.VMEM((G * T, D), jnp.float32),  # W2 output accumulator
+        ],
+        interpret=interpret,
+    )(x, _row2(lns), _row2(lnb), w1t, b1.reshape(nj, 1, ht), w2, _row2(b2), _row2(ls), dp)
+    if has_ls:
+        out, y2, h, mlpout = outs
+    else:
+        (out, y2, h), mlpout = outs, None
+    return out, (x, y2, h, w1, w2, lns, ls, dp, mlpout)
+
+
+def _fused_mlp_bwd(group, has_ls, interpret, eps, res, dout):
+    x, y2, h, w1, w2, lns, ls, dp, mlpout = res
+    B, T, D, Dh, ht, nj, G = _common(x, w1, group)
+    w1t = w1.T
+    out_shapes = [
+        jax.ShapeDtypeStruct((B, T, D), x.dtype),  # dx
+        jax.ShapeDtypeStruct((B, T, Dh), jnp.bfloat16),  # dh (for dW1)
+        jax.ShapeDtypeStruct((nj, ht), jnp.float32),  # db1
+        jax.ShapeDtypeStruct((1, D), jnp.float32),  # db2
+        jax.ShapeDtypeStruct((1, D), jnp.float32),  # dγ_ln
+        jax.ShapeDtypeStruct((1, D), jnp.float32),  # dβ_ln
+    ]
+    const_spec = pl.BlockSpec((1, D), lambda i, j: (0, 0))
+    out_specs = [
+        pl.BlockSpec((G, T, D), lambda i, j: (i, 0, 0)),
+        pl.BlockSpec((G, T, ht), lambda i, j: (i, 0, j)),
+        pl.BlockSpec((nj, ht), lambda i, j: (0, 0)),
+        const_spec,
+        const_spec,
+        const_spec,
+    ]
+    if has_ls:
+        out_shapes.append(jax.ShapeDtypeStruct((1, D), jnp.float32))  # dγ_ls
+        out_specs.append(const_spec)
+    in_specs = [
+        pl.BlockSpec((G, T, D), lambda i, j: (i, 0, 0)),  # x
+        pl.BlockSpec((G, T, D), lambda i, j: (i, 0, 0)),  # dout
+        pl.BlockSpec((G, T, ht), lambda i, j: (i, 0, j)),  # h
+        pl.BlockSpec((Dh, D), lambda i, j: (0, 0)),  # W1ᵀ
+        pl.BlockSpec((Dh, D), lambda i, j: (0, 0)),  # W2
+        const_spec,  # ln scale
+        const_spec,  # layer-scale
+        _SMEM_SPEC(),  # drop-path (SMEM, whole array)
+    ]
+    operands = [x, dout, h, w1t, w2, _row2(lns), _row2(ls), dp]
+    if has_ls:
+        in_specs.append(pl.BlockSpec((G, T, D), lambda i, j: (i, 0, 0)))
+        operands.append(mlpout)
+    outs = pl.pallas_call(
+        functools.partial(_bwd_kernel, nj=nj, ht=ht, eps=eps, has_ls=has_ls),
+        grid=(B // G, nj),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        scratch_shapes=[
+            pltpu.VMEM((G * T, D), jnp.float32),  # xhat
+            pltpu.VMEM((G * T, 1), jnp.float32),  # rstd
+            pltpu.VMEM((G * T, D), jnp.bfloat16),  # dout·dp·γ_ls
+            pltpu.VMEM((G * T, D), jnp.float32),  # dy2 accumulator
+        ],
+        interpret=interpret,
+    )(*operands)
+    if has_ls:
+        dx, dh, db1, db2, dlns, dlnb, dls = outs
+    else:
+        (dx, dh, db1, db2, dlns, dlnb), dls = outs, None
+
+    # weight grads: two big MXU matmuls over the saved activations (exactly
+    # what XLA's autodiff runs — no recompute, no extra traffic)
+    rows = B * T
+    dw1 = jax.lax.dot_general(
+        y2.reshape(rows, D), dh.reshape(rows, Dh),
+        (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+    ).astype(w1.dtype)
+    douts = (dout * (dp[:, None, :] * ls).astype(dout.dtype)).reshape(rows, D)
+    g = _gelu_f32(h.astype(jnp.float32)).astype(h.dtype).reshape(rows, Dh)
+    dw2 = jax.lax.dot_general(
+        g, douts, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    ).astype(w2.dtype)
+
+    to = lambda a, ref: a.astype(ref.dtype)
+    return (
+        dx,
+        to(dlns[0], lns),
+        to(dlnb[0], lns),
+        dw1,
+        to(db1.reshape(Dh), w1),
+        dw2,
+        to(db2[0], w2),
+        to(dls[0], ls) if has_ls else jnp.zeros_like(ls),
+        jnp.zeros_like(dp),
+    )
+
+
+_fused_mlp.defvjp(_fused_mlp_fwd, _fused_mlp_bwd)
+
+
+def fused_mlp_block(
+    x: jax.Array,
+    ln_scale: jax.Array,
+    ln_bias: jax.Array,
+    w1: jax.Array,
+    b1: jax.Array,
+    w2: jax.Array,
+    b2: jax.Array,
+    ls_gamma: jax.Array | None = None,
+    dp_scale: jax.Array | None = None,
+    *,
+    eps: float = 1e-6,
+    group: int = 1,
+    interpret: bool | None = None,
+) -> jax.Array:
+    """``x + dp·γ_ls·(gelu(LN(x)@W1+b1)@W2+b2)`` as one fused Pallas program.
+
+    x: (B, T, D); w1: (D, Dh); w2: (Dh, D); dp_scale: (B, 1) per-sample
+    drop-path scale (mask/keep_p), ones if None. Exact-erf GELU, fast-variance
+    LayerNorm (flax semantics)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    has_ls = ls_gamma is not None
+    ls = ls_gamma if has_ls else jnp.ones((x.shape[-1],), jnp.float32)
+    dp = dp_scale if dp_scale is not None else jnp.ones((x.shape[0], 1), jnp.float32)
+    # bf16 weights: the kernel's matmuls are bf16×bf16 (VMEM budget counts
+    # bf16); autodiff of the cast upcasts f32 callers' weight cotangents
+    b16 = lambda a: a.astype(jnp.bfloat16)
+    return _fused_mlp(
+        x, ln_scale, ln_bias, b16(w1), b1, b16(w2), b2, ls, dp,
+        group, has_ls, interpret, float(eps),
+    )
+
+
+# Dispatch: resident-weight budget (both weight matrices live in VMEM for the
+# whole grid) + row bound for the f32 (G·T, D) scratches. ViT-Ti/S/B, DeiT,
+# DeiT3-S/B fit; ViT-L (2·1024·4096·2 B = 16.8 MB resident) does not.
+_FORCE_ON = False  # tests set this to exercise the module dispatch on CPU
+_DISABLE = False  # measurement scripts set this for in-model A/B brackets
+
+
+def use_fused_mlp(d_model: int, hidden: int, t: int, dropout: float) -> bool:
+    resident = 2 * d_model * hidden * 2  # W1ᵀ + W2, bf16
+    if _DISABLE:
+        return False
+    ok = (
+        dropout == 0.0
+        and d_model % 128 == 0
+        and _pick_hidden_tile(hidden) <= 1536
+        and resident <= 10 * 1024 * 1024
+        and t * d_model * 4 <= 2 * 1024 * 1024  # f32 row scratches
+    )
+    return ok and (_FORCE_ON or jax.default_backend() == "tpu")
