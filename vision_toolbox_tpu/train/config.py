@@ -88,6 +88,7 @@ class RuntimeConfig:
     param_sharding: str = "replicated"
     sharding_min_size: int = 65536  # params smaller than this stay replicated
     profile_steps: int = 0  # capture a jax.profiler trace of N train steps
+    tracker: str = "none"  # none | tensorboard | wandb (train/tracking.py)
 
 
 @dataclass

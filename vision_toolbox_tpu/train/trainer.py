@@ -141,6 +141,15 @@ class Trainer:
         os.makedirs(cfg.runtime.out_dir, exist_ok=True)
         save_config(cfg, cfg.runtime.out_dir)
         self._log_file = open(os.path.join(cfg.runtime.out_dir, "metrics.jsonl"), "a")
+        # optional experiment-tracker mirror (ref configs/base.yaml:25-32 —
+        # WandbLogger role); JSONL + stdout stay the source of truth
+        from .tracking import make_tracker
+        from .config import _to_dict
+
+        self.tracker = make_tracker(
+            cfg.runtime.tracker, cfg.runtime.out_dir, _to_dict(cfg)
+        )
+        self._tracker_step = 0
         self.best_acc = -1.0
 
         if cfg.runtime.resume:
@@ -268,6 +277,9 @@ class Trainer:
         record = {k: (float(v) if hasattr(v, "item") else v) for k, v in record.items()}
         self._log_file.write(json.dumps(record) + "\n")
         self._log_file.flush()
+        if "step" in record:
+            self._tracker_step = int(record["step"])
+        self.tracker.log(record, self._tracker_step)
         print("  ".join(f"{k}={v:.4f}" if isinstance(v, float) else f"{k}={v}" for k, v in record.items()))
 
     def fit(self):
@@ -307,6 +319,7 @@ class Trainer:
                 self._trace_open = False
             for sig, h in old_handlers.items():
                 signal.signal(sig, h)
+            self.tracker.finish()
 
     def _fit_loop(self, cfg, rng, prefetch_to_device):
         profiled = False

@@ -17,6 +17,25 @@ def count_params(params: Any) -> float:
     return sum(x.size for x in jax.tree_util.tree_leaves(params)) / 1e6
 
 
+def device_memory_mb(device=None) -> dict:
+    """Device HBM usage in MB (reference extras.py:164 reports
+    torch.cuda.memory_reserved; PJRT exposes allocator stats per device).
+    Returns {} on backends without memory_stats (e.g. CPU)."""
+    d = device or jax.local_devices()[0]
+    stats = d.memory_stats() if hasattr(d, "memory_stats") else None
+    if not stats:
+        return {}
+    out = {}
+    for src, dst in (
+        ("bytes_in_use", "mem_in_use_mb"),
+        ("peak_bytes_in_use", "mem_peak_mb"),
+        ("bytes_limit", "mem_limit_mb"),
+    ):
+        if src in stats:
+            out[dst] = stats[src] / 2**20
+    return out
+
+
 def flops(fn: Callable, *args) -> float:
     """GFLOPs of a jitted function via XLA cost analysis (the reference uses
     fvcore MAC count ×2, extras.py:142; XLA counts FLOPs directly)."""
@@ -71,4 +90,6 @@ def profile_model(
         "gflops": gflops,
         "fwd_ms": fwd_ms,
         "fwd_bwd_ms": fwd_bwd_ms,
+        # peak measured after the fwd+bwd loop — the training-shaped footprint
+        **device_memory_mb(),
     }
