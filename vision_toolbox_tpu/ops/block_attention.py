@@ -50,11 +50,13 @@ def _head_slices(d: int, n_heads: int):
 
 def _attn_fwd_heads(q, k, v, n_heads: int, scale: float, g: int, t: int):
     """Per-head, PER-IMAGE softmax attention on packed (g·t, D) bf16 operands
-    → list of (g·t, hd) f32 head outputs (tokens never attend across the
-    images stacked in one grid program)."""
-    outs = []
+    → (list of (g·t, hd) f32 head outputs, (g, H, t, t) bf16 probs) — tokens
+    never attend across the images stacked in one grid program. The probs are
+    saved for the backward (an HBM stream beats recomputing logits + softmax:
+    the exp over B·H·T² elements is VPU-bound)."""
+    outs, probs = [], []
     for sl in _head_slices(q.shape[-1], n_heads):
-        blocks = []
+        blocks, pblocks = [], []
         for gg in range(g):
             rs = slice(gg * t, (gg + 1) * t)
             logits = jax.lax.dot_general(
@@ -63,18 +65,18 @@ def _attn_fwd_heads(q, k, v, n_heads: int, scale: float, g: int, t: int):
             )
             m = jnp.max(logits, axis=-1, keepdims=True)
             e = jnp.exp(logits - m)
-            p = e / jnp.sum(e, axis=-1, keepdims=True)
-            blocks.append(
-                jnp.dot(p.astype(jnp.bfloat16), v[rs, sl], preferred_element_type=jnp.float32)
-            )
+            p = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(jnp.bfloat16)
+            pblocks.append(p)
+            blocks.append(jnp.dot(p, v[rs, sl], preferred_element_type=jnp.float32))
         outs.append(jnp.concatenate(blocks, axis=0) if g > 1 else blocks[0])
-    return outs
+        probs.append(jnp.stack(pblocks, axis=0))  # (g, t, t)
+    return outs, jnp.stack(probs, axis=1)  # (g, H, t, t)
 
 
 def _fwd_kernel(
     x_ref, lns_ref, lnb_ref, wq_ref, bq_ref, wk_ref, bk_ref, wv_ref, bv_ref,
     wo_ref, bo_ref, ls_ref, dp_ref,
-    out_ref, y_ref, q_ref, k_ref, v_ref, o_ref, *rest,
+    out_ref, xhat_ref, rstd_ref, q_ref, k_ref, v_ref, o_ref, p_ref, *rest,
     n_heads: int, eps: float, has_ls: bool,
 ):
     if has_ls:
@@ -86,11 +88,14 @@ def _fwd_kernel(
     scale = (D // n_heads) ** -0.5
 
     x = x_ref[...].reshape(rows, D).astype(jnp.float32)
-    xhat, _ = _ln_f32(x, eps)
+    xhat, rstd = _ln_f32(x, eps)
+    # saving xhat (bf16) + rstd lets the backward skip BOTH the x stream and
+    # the LN-stat recompute; XLA reconstructs y = xhat·γ+β for dWq/k/v
+    xhat_ref[...] = xhat.astype(jnp.bfloat16).reshape(G, T, D)
+    rstd_ref[...] = rstd.reshape(G, T, 1)
     y = (xhat * lns_ref[0].astype(jnp.float32) + lnb_ref[0].astype(jnp.float32)).astype(
         jnp.bfloat16
     )
-    y_ref[...] = y.reshape(G, T, D)
 
     # wq etc. stored transposed (out_dim, in_dim) so dot_general contracts
     # their minor dim against y's minor dim with no in-kernel relayout
@@ -101,7 +106,8 @@ def _fwd_kernel(
     k_ref[...] = k.reshape(G, T, D)
     v_ref[...] = v.reshape(G, T, D)
 
-    heads = _attn_fwd_heads(q, k, v, n_heads, scale, G, T)
+    heads, probs = _attn_fwd_heads(q, k, v, n_heads, scale, G, T)
+    p_ref[...] = probs
     o = jnp.concatenate(heads, axis=1).astype(jnp.bfloat16)
     o_ref[...] = o.reshape(G, T, D)
 
@@ -113,7 +119,7 @@ def _fwd_kernel(
 
 
 def _bwd_kernel(
-    x_ref, dout_ref, q_ref, k_ref, v_ref, wq_ref, wk_ref, wv_ref,
+    xhat_ref, rstd_ref, dout_ref, q_ref, k_ref, v_ref, p_ref, wq_ref, wk_ref, wv_ref,
     wo_ref, lns_ref, ls_ref, dp_ref, *rest,
     n_heads: int, eps: float, has_ls: bool,
 ):
@@ -124,7 +130,7 @@ def _bwd_kernel(
         (dx_ref, dq_ref, dk_ref, dv_ref, dbq_ref, dbk_ref, dbv_ref,
          dbo_ref, dlns_ref, dlnb_ref) = rest
     i = pl.program_id(0)
-    G, T, D = x_ref.shape
+    G, T, D = xhat_ref.shape
     rows = G * T
     scale = (D // n_heads) ** -0.5
 
@@ -158,18 +164,13 @@ def _bwd_kernel(
     k = k_ref[...].reshape(rows, D)
     v = v_ref[...].reshape(rows, D)
     dqs, dks, dvs = [], [], []
-    for sl in _head_slices(D, n_heads):
+    for hi, sl in enumerate(_head_slices(D, n_heads)):
         dqb_, dkb_, dvb_ = [], [], []
         for gg in range(G):  # per-image: no cross-image attention
             rs = slice(gg * T, (gg + 1) * T)
             qh = q[rs, sl].astype(jnp.float32) * scale
             kh = k[rs, sl].astype(jnp.float32)
-            logits = jax.lax.dot_general(
-                qh, kh, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-            )
-            m = jnp.max(logits, axis=-1, keepdims=True)
-            e = jnp.exp(logits - m)
-            p = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(jnp.bfloat16)
+            p = p_ref[gg, hi]  # saved bf16 probs — no logits/softmax recompute
             goh = do[rs, sl]
             dvb_.append(
                 jax.lax.dot_general(
@@ -218,8 +219,8 @@ def _bwd_kernel(
         dvb, wv_ref[...], (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
     )
 
-    x = x_ref[...].reshape(rows, D).astype(jnp.float32)
-    xhat, rstd = _ln_f32(x, eps)
+    xhat = xhat_ref[...].reshape(rows, D).astype(jnp.float32)
+    rstd = rstd_ref[...].reshape(rows, 1)
     dlns_ref[...] += jnp.sum(dy * xhat, axis=0, keepdims=True)
     dlnb_ref[...] += jnp.sum(dy, axis=0, keepdims=True)
     dxh = dy * lns_ref[0].astype(jnp.float32)
@@ -250,9 +251,18 @@ def _fused_attn_fwd(x, lns, lnb, wq, bq, wk, bk, wv, bv, wo, bo, ls, dp,
     B, T, D = x.shape
     G = _pick_group(B, group)
     act, w, vec, dpv = _specs(B, T, D, G)
+    H = n_heads
+    pspec = pl.BlockSpec((G, H, T, T), lambda i: (i, 0, 0, 0))
+    rspec = pl.BlockSpec((G, T, 1), lambda i: (i, 0, 0))
     bact = lambda: jax.ShapeDtypeStruct((B, T, D), jnp.bfloat16)
-    out_shapes = [jax.ShapeDtypeStruct((B, T, D), x.dtype), bact(), bact(), bact(), bact(), bact()]
-    out_specs = [act] * 6
+    out_shapes = [
+        jax.ShapeDtypeStruct((B, T, D), x.dtype),  # out
+        bact(),  # xhat (bf16, saved for the LN backward + y reconstruction)
+        jax.ShapeDtypeStruct((B, T, 1), jnp.float32),  # rstd
+        bact(), bact(), bact(), bact(),  # q, k, v, o
+        jax.ShapeDtypeStruct((B, H, T, T), jnp.bfloat16),  # softmax probs
+    ]
+    out_specs = [act, act, rspec, act, act, act, act, pspec]
     if has_ls:
         out_shapes.append(bact())  # pre-LS projection (for dγ_ls)
         out_specs.append(act)
@@ -269,21 +279,23 @@ def _fused_attn_fwd(x, lns, lnb, wq, bq, wk, bk, wv, bv, wo, bo, ls, dp,
         _row2(ls), dp,
     )
     if has_ls:
-        out, y, q, k, v, o, proj = outs
+        out, xhat, rstd, q, k, v, o, p, proj = outs
     else:
-        (out, y, q, k, v, o), proj = outs, None
-    return out, (x, y, q, k, v, o, wq, wk, wv, wo, lns, ls, dp, proj)
+        (out, xhat, rstd, q, k, v, o, p), proj = outs, None
+    return out, (xhat, rstd, q, k, v, o, p, wq, wk, wv, wo, lns, lnb, ls, dp, proj)
 
 
 def _fused_attn_bwd(n_heads, group, has_ls, interpret, eps, res, dout):
-    x, y, q, k, v, o, wq, wk, wv, wo, lns, ls, dp, proj = res
-    B, T, D = x.shape
+    xhat, rstd, q, k, v, o, p, wq, wk, wv, wo, lns, lnb, ls, dp, proj = res
+    B, T, D = xhat.shape
     G = _pick_group(B, group)
     act, w, vec, dpv = _specs(B, T, D, G)
+    pspec = pl.BlockSpec((G, n_heads, T, T), lambda i: (i, 0, 0, 0))
+    rspec = pl.BlockSpec((G, T, 1), lambda i: (i, 0, 0))
     fvec = jax.ShapeDtypeStruct((1, D), jnp.float32)
     bact = lambda: jax.ShapeDtypeStruct((B, T, D), jnp.bfloat16)
     out_shapes = [
-        jax.ShapeDtypeStruct((B, T, D), x.dtype),  # dx
+        jax.ShapeDtypeStruct((B, T, D), dout.dtype),  # dx
         bact(), bact(), bact(),  # dq, dk, dv
         fvec, fvec, fvec, fvec,  # dbq, dbk, dbv, dbo
         fvec, fvec,  # dγ_ln, dβ_ln
@@ -293,8 +305,8 @@ def _fused_attn_bwd(n_heads, group, has_ls, interpret, eps, res, dout):
         out_shapes.append(fvec)
         out_specs.append(vec)
     # o is NOT a kernel operand — it is only needed for dWo, computed in XLA
-    in_specs = [act, act, act, act, act, w, w, w, w, vec, vec, dpv]
-    operands = [x, dout, q, k, v, wq.T, wk.T, wv.T, wo.T, _row2(lns), _row2(ls), dp]
+    in_specs = [act, rspec, act, act, act, act, pspec, w, w, w, w, vec, vec, dpv]
+    operands = [xhat, rstd, dout, q, k, v, p, wq.T, wk.T, wv.T, wo.T, _row2(lns), _row2(ls), dp]
     if has_ls:
         in_specs.append(act)
         operands.append(proj)
@@ -304,6 +316,9 @@ def _fused_attn_bwd(n_heads, group, has_ls, interpret, eps, res, dout):
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shapes,
+        # the pipeline's double-buffered blocks + resident weights graze the
+        # default 16 MB scoped budget at D=768/H=12; measured to fit and run
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=20 * 1024 * 1024),
         interpret=interpret,
     )(*operands)
     if has_ls:
@@ -312,7 +327,10 @@ def _fused_attn_bwd(n_heads, group, has_ls, interpret, eps, res, dout):
         (dx, dq, dk, dv, dbq, dbk, dbv, dbo, dlns, dlnb), dls = outs, None
 
     rows = B * T
-    yf = y.reshape(rows, D)
+    # y reconstructed from the saved xhat (XLA fuses the elementwise chain
+    # into the matmul input) — the forward no longer streams y to HBM
+    yf = (xhat.astype(jnp.float32) * lns.astype(jnp.float32) + lnb.astype(jnp.float32)) \
+        .astype(jnp.bfloat16).reshape(rows, D)
     mm = lambda a, b: jax.lax.dot_general(
         a, b, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
     )
@@ -360,6 +378,8 @@ def fused_attention_block(
     x: (B, T, D); all w: (D, D) in the Linear (in, out) layout."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    if _FORCED_GROUP is not None:
+        group = _FORCED_GROUP
     has_ls = ls_gamma is not None
     ls = ls_gamma if has_ls else jnp.ones((x.shape[-1],), jnp.float32)
     dp = dp_scale if dp_scale is not None else jnp.ones((x.shape[0], 1), jnp.float32)
@@ -375,6 +395,7 @@ def fused_attention_block(
 
 _FORCE_ON = False  # tests set this to exercise the module dispatch on CPU
 _DISABLE = False  # measurement scripts set this for in-model A/B brackets
+_FORCED_GROUP: int | None = None  # measurement override for the group sweep
 
 
 def use_fused_attention(d_model: int, n_heads: int, t: int, dropout: float, bias: bool) -> bool:

@@ -64,13 +64,24 @@ def _gelu_f32(h):
 
 
 def _gelu_grad_f32(h):
-    return 0.5 * (1.0 + _erf_f32(h / _SQRT_2)) + h * jnp.exp(-0.5 * h * h) * _INV_SQRT_2PI
+    # gelu'(h) = Φ(h) + h·φ(h); the A-S erf polynomial's exp(-x²) at
+    # x = h/√2 IS exp(-h²/2) = √(2π)·φ(h) — compute it once for both terms
+    a1, a2, a3, a4, a5 = 0.254829592, -0.284496736, 1.421413741, -1.453152027, 1.061405429
+    x = h * (1.0 / _SQRT_2)
+    ax = jnp.abs(x)
+    t = 1.0 / (1.0 + 0.3275911 * ax)
+    e = jnp.exp(-x * x)
+    y = 1.0 - ((((a5 * t + a4) * t + a3) * t + a2) * t + a1) * t * e
+    erf = jnp.where(x < 0, -y, y)
+    return 0.5 * (1.0 + erf) + h * e * _INV_SQRT_2PI
 
 
 def _pick_hidden_tile(dh: int) -> int:
-    if dh <= 1536:
+    # one tile (nj=1) measured fastest whenever the raised VMEM budget admits
+    # it — fewer grid steps, no dy2 re-accumulation passes
+    if dh <= 3072:
         return dh
-    for ht in (1024, 768, 512, 384, 256, 128):
+    for ht in (1536, 1024, 768, 512, 384, 256, 128):
         if dh % ht == 0:
             return ht
     return dh
@@ -103,13 +114,13 @@ def _ln_f32(x, eps: float):
 
 def _fwd_kernel(
     x_ref, lns_ref, lnb_ref, w1t_ref, b1_ref, w2_ref, b2_ref, ls_ref, dp_ref,
-    out_ref, y2_ref, h_ref, *rest,
+    out_ref, xhat_ref, rstd_ref, h_ref, *rest,
     nj: int, ht: int, eps: float, has_ls: bool,
 ):
     if has_ls:
-        mlpout_ref, y2_scr, acc_scr = rest
+        g_ref, mlpout_ref, y2_scr, acc_scr = rest
     else:
-        y2_scr, acc_scr = rest
+        g_ref, y2_scr, acc_scr = rest
     i = pl.program_id(0)  # hoisted: program_id inside a pl.when body
     j = pl.program_id(1)  # does not lower in interpret mode
     G, T, D = x_ref.shape
@@ -118,11 +129,13 @@ def _fwd_kernel(
     @pl.when(j == 0)
     def _():
         x = x_ref[...].reshape(rows, D).astype(jnp.float32)
-        xhat, _ = _ln_f32(x, eps)
+        xhat, rstd = _ln_f32(x, eps)
+        # xhat (bf16) + rstd saved: the backward skips the x stream and the
+        # LN-stat recompute; XLA reconstructs y2 = xhat·γ+β for dW1
+        xhat_ref[...] = xhat.astype(jnp.bfloat16).reshape(G, T, D)
+        rstd_ref[...] = rstd.reshape(G, T, 1)
         y2 = xhat * lns_ref[0].astype(jnp.float32) + lnb_ref[0].astype(jnp.float32)
-        y2b = y2.astype(jnp.bfloat16)
-        y2_scr[...] = y2b
-        y2_ref[...] = y2b.reshape(G, T, D).astype(y2_ref.dtype)
+        y2_scr[...] = y2.astype(jnp.bfloat16)
         acc_scr[...] = jnp.zeros_like(acc_scr)
 
     w1j = w1t_ref[pl.ds(j * ht, ht), :]  # (ht, D) — sublane slice of resident W1ᵀ
@@ -134,6 +147,9 @@ def _fwd_kernel(
     hb = hf.astype(jnp.bfloat16)
     h_ref[...] = hb.reshape(G, T, ht)
     g = _gelu_f32(hb.astype(jnp.float32)).astype(jnp.bfloat16)
+    # saving g costs one bf16 HBM stream but spares the backward an XLA-side
+    # gelu recompute for dW2 (erf+exp over B·T·Dh on the VPU)
+    g_ref[...] = g.reshape(G, T, ht)
     w2j = w2_ref[pl.ds(j * ht, ht), :]  # (ht, D)
     acc_scr[...] += jnp.dot(g, w2j, preferred_element_type=jnp.float32)
 
@@ -148,18 +164,18 @@ def _fwd_kernel(
 
 
 def _bwd_kernel(
-    x_ref, dout_ref, h_ref, w1t_ref, w2_ref, lns_ref, ls_ref, dp_ref, *rest,
+    xhat_ref, rstd_ref, dout_ref, h_ref, w1t_ref, w2_ref, lns_ref, ls_ref, dp_ref, *rest,
     nj: int, ht: int, eps: float, has_ls: bool,
 ):
     if has_ls:
         (mlpout_ref, dx_ref, dh_ref, db1_ref, db2_ref, dlns_ref, dlnb_ref,
-         dls_ref, xhat_scr, rstd_scr, douts_scr, dy2_scr) = rest
+         dls_ref, douts_scr, dy2_scr) = rest
     else:
         (dx_ref, dh_ref, db1_ref, db2_ref, dlns_ref, dlnb_ref,
-         xhat_scr, rstd_scr, douts_scr, dy2_scr) = rest
+         douts_scr, dy2_scr) = rest
     i = pl.program_id(0)
     j = pl.program_id(1)
-    G, T, D = x_ref.shape
+    G, T, D = xhat_ref.shape
     rows = G * T
 
     @pl.when((i == 0) & (j == 0))
@@ -173,10 +189,6 @@ def _bwd_kernel(
 
     @pl.when(j == 0)
     def _():
-        x = x_ref[...].reshape(rows, D).astype(jnp.float32)
-        xhat, rstd = _ln_f32(x, eps)
-        xhat_scr[...] = xhat
-        rstd_scr[...] = rstd
         dout = dout_ref[...].reshape(rows, D).astype(jnp.float32)
         dprow = _dp_rows(dp_ref, i, G, T)
         douts = dout * dprow * ls_ref[0].astype(jnp.float32)
@@ -207,13 +219,13 @@ def _bwd_kernel(
     @pl.when(j == nj - 1)
     def _():
         dy2 = dy2_scr[...]
-        xhat = xhat_scr[...]
+        xhat = xhat_ref[...].reshape(rows, D).astype(jnp.float32)
         dlns_ref[...] += jnp.sum(dy2 * xhat, axis=0, keepdims=True)
         dlnb_ref[...] += jnp.sum(dy2, axis=0, keepdims=True)
         dxh = dy2 * lns_ref[0].astype(jnp.float32)
         m1 = jnp.mean(dxh, axis=-1, keepdims=True)
         m2 = jnp.mean(dxh * xhat, axis=-1, keepdims=True)
-        dx_ln = rstd_scr[...] * (dxh - m1 - xhat * m2)
+        dx_ln = rstd_ref[...].reshape(rows, 1) * (dxh - m1 - xhat * m2)
         dout = dout_ref[...].reshape(rows, D).astype(jnp.float32)
         dx_ref[...] = (dout + dx_ln).astype(dx_ref.dtype).reshape(G, T, D)
 
@@ -242,12 +254,16 @@ def _fused_mlp_fwd(x, lns, lnb, w1, b1, w2, b2, ls, dp, group, has_ls, interpret
     w1t = w1.T  # (Dh, D); one-time relayout, negligible vs activation traffic
     out_shapes = [
         jax.ShapeDtypeStruct((B, T, D), x.dtype),  # out
-        jax.ShapeDtypeStruct((B, T, D), jnp.bfloat16),  # y2 (saved for dW1)
+        jax.ShapeDtypeStruct((B, T, D), jnp.bfloat16),  # xhat (for LN bwd + y2)
+        jax.ShapeDtypeStruct((B, T, 1), jnp.float32),  # rstd
         jax.ShapeDtypeStruct((B, T, Dh), jnp.bfloat16),  # h (saved for bwd)
+        jax.ShapeDtypeStruct((B, T, Dh), jnp.bfloat16),  # gelu(h) (for dW2)
     ]
     out_specs = [
         pl.BlockSpec((G, T, D), lambda i, j: (i, 0, 0)),
         pl.BlockSpec((G, T, D), lambda i, j: (i, 0, 0)),
+        pl.BlockSpec((G, T, 1), lambda i, j: (i, 0, 0)),
+        pl.BlockSpec((G, T, ht), lambda i, j: (i, 0, j)),
         pl.BlockSpec((G, T, ht), lambda i, j: (i, 0, j)),
     ]
     if has_ls:
@@ -273,21 +289,22 @@ def _fused_mlp_fwd(x, lns, lnb, w1, b1, w2, b2, ls, dp, group, has_ls, interpret
             pltpu.VMEM((G * T, D), jnp.bfloat16),  # y2
             pltpu.VMEM((G * T, D), jnp.float32),  # W2 output accumulator
         ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=24 * 1024 * 1024),
         interpret=interpret,
     )(x, _row2(lns), _row2(lnb), w1t, b1.reshape(nj, 1, ht), w2, _row2(b2), _row2(ls), dp)
     if has_ls:
-        out, y2, h, mlpout = outs
+        out, xhat, rstd, h, g, mlpout = outs
     else:
-        (out, y2, h), mlpout = outs, None
-    return out, (x, y2, h, w1, w2, lns, ls, dp, mlpout)
+        (out, xhat, rstd, h, g), mlpout = outs, None
+    return out, (xhat, rstd, h, g, w1, w2, lns, lnb, ls, dp, mlpout)
 
 
 def _fused_mlp_bwd(group, has_ls, interpret, eps, res, dout):
-    x, y2, h, w1, w2, lns, ls, dp, mlpout = res
-    B, T, D, Dh, ht, nj, G = _common(x, w1, group)
+    xhat, rstd, h, g, w1, w2, lns, lnb, ls, dp, mlpout = res
+    B, T, D, Dh, ht, nj, G = _common(xhat, w1, group)
     w1t = w1.T
     out_shapes = [
-        jax.ShapeDtypeStruct((B, T, D), x.dtype),  # dx
+        jax.ShapeDtypeStruct((B, T, D), dout.dtype),  # dx
         jax.ShapeDtypeStruct((B, T, Dh), jnp.bfloat16),  # dh (for dW1)
         jax.ShapeDtypeStruct((nj, ht), jnp.float32),  # db1
         jax.ShapeDtypeStruct((1, D), jnp.float32),  # db2
@@ -307,7 +324,8 @@ def _fused_mlp_bwd(group, has_ls, interpret, eps, res, dout):
         out_shapes.append(jax.ShapeDtypeStruct((1, D), jnp.float32))  # dγ_ls
         out_specs.append(const_spec)
     in_specs = [
-        pl.BlockSpec((G, T, D), lambda i, j: (i, 0, 0)),  # x
+        pl.BlockSpec((G, T, D), lambda i, j: (i, 0, 0)),  # xhat
+        pl.BlockSpec((G, T, 1), lambda i, j: (i, 0, 0)),  # rstd
         pl.BlockSpec((G, T, D), lambda i, j: (i, 0, 0)),  # dout
         pl.BlockSpec((G, T, ht), lambda i, j: (i, 0, j)),  # h
         pl.BlockSpec((Dh, D), lambda i, j: (0, 0)),  # W1ᵀ
@@ -316,7 +334,7 @@ def _fused_mlp_bwd(group, has_ls, interpret, eps, res, dout):
         const_spec,  # layer-scale
         _SMEM_SPEC(),  # drop-path (SMEM, whole array)
     ]
-    operands = [x, dout, h, w1t, w2, _row2(lns), _row2(ls), dp]
+    operands = [xhat, rstd, dout, h, w1t, w2, _row2(lns), _row2(ls), dp]
     if has_ls:
         in_specs.append(pl.BlockSpec((G, T, D), lambda i, j: (i, 0, 0)))
         operands.append(mlpout)
@@ -327,11 +345,10 @@ def _fused_mlp_bwd(group, has_ls, interpret, eps, res, dout):
         out_specs=out_specs,
         out_shape=out_shapes,
         scratch_shapes=[
-            pltpu.VMEM((G * T, D), jnp.float32),  # xhat
-            pltpu.VMEM((G * T, 1), jnp.float32),  # rstd
             pltpu.VMEM((G * T, D), jnp.bfloat16),  # dout·dp·γ_ls
             pltpu.VMEM((G * T, D), jnp.float32),  # dy2 accumulator
         ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=24 * 1024 * 1024),
         interpret=interpret,
     )(*operands)
     if has_ls:
@@ -340,16 +357,19 @@ def _fused_mlp_bwd(group, has_ls, interpret, eps, res, dout):
         (dx, dh, db1, db2, dlns, dlnb), dls = outs, None
 
     # weight grads: two big MXU matmuls over the saved activations (exactly
-    # what XLA's autodiff runs — no recompute, no extra traffic)
+    # what XLA's autodiff runs — no recompute, no extra traffic); y2 is
+    # reconstructed from xhat (elementwise, fused into the matmul input)
     rows = B * T
+    y2 = (xhat.astype(jnp.float32) * lns.astype(jnp.float32) + lnb.astype(jnp.float32)) \
+        .astype(jnp.bfloat16)
     dw1 = jax.lax.dot_general(
         y2.reshape(rows, D), dh.reshape(rows, Dh),
         (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32,
     ).astype(w1.dtype)
     douts = (dout * (dp[:, None, :] * ls).astype(dout.dtype)).reshape(rows, D)
-    g = _gelu_f32(h.astype(jnp.float32)).astype(h.dtype).reshape(rows, Dh)
     dw2 = jax.lax.dot_general(
-        g, douts, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        g.reshape(rows, Dh), douts, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
     ).astype(w2.dtype)
 
     to = lambda a, ref: a.astype(ref.dtype)
@@ -391,6 +411,8 @@ def fused_mlp_block(
     LayerNorm (flax semantics)."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    if _FORCED_GROUP is not None:
+        group = _FORCED_GROUP
     has_ls = ls_gamma is not None
     ls = ls_gamma if has_ls else jnp.ones((x.shape[-1],), jnp.float32)
     dp = dp_scale if dp_scale is not None else jnp.ones((x.shape[0], 1), jnp.float32)
@@ -408,6 +430,7 @@ def fused_mlp_block(
 # DeiT3-S/B fit; ViT-L (2·1024·4096·2 B = 16.8 MB resident) does not.
 _FORCE_ON = False  # tests set this to exercise the module dispatch on CPU
 _DISABLE = False  # measurement scripts set this for in-model A/B brackets
+_FORCED_GROUP: int | None = None  # measurement override for the group sweep
 
 
 def use_fused_mlp(d_model: int, hidden: int, t: int, dropout: float) -> bool:
@@ -417,7 +440,7 @@ def use_fused_mlp(d_model: int, hidden: int, t: int, dropout: float) -> bool:
     ok = (
         dropout == 0.0
         and d_model % 128 == 0
-        and _pick_hidden_tile(hidden) <= 1536
+        and _pick_hidden_tile(hidden) <= 3072
         and resident <= 10 * 1024 * 1024
         and t * d_model * 4 <= 2 * 1024 * 1024  # f32 row scratches
     )
