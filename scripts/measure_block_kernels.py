@@ -33,6 +33,10 @@ MODELS = {
     "vit_b_16": ({"img_size": 224}, 224, 128),
     "deit3_s_16": ({"img_size": 224}, 224, 128),
     "deit_b_16": ({"img_size": 224}, 224, 128),
+    # MLP half-block only (windowed attention / dwconv stay on XLA)
+    "swin_t": ({"img_size": 224}, 224, 128),
+    "convnext_t": ({}, 224, 128),
+    "cait_xxs_24": ({"img_size": 224}, 224, 128),
 }
 
 

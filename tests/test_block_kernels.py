@@ -103,6 +103,21 @@ def test_fused_mlp_forward(ls, dp, group):
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-4)
 
 
+def test_fused_mlp_row_chunking():
+    # T > 512 triggers the free (B,T,D)->(B*k,T/k,D) re-bin; per-sample
+    # drop-path must still apply to the right rows after the repeat
+    assert bm._row_chunk(3136) == 7
+    assert bm._row_chunk(197) == 1
+    a = _mlp_args(B=2, T=784, D=32, Dh=64, seed=4, ls=True, dp=True)
+    got = bm.fused_mlp_block(
+        a["x"], a["lns"], a["lnb"], a["w1"], a["b1"], a["w2"], a["b2"],
+        a["ls"], a["dp"],
+    )
+    want = mlp_oracle(a["x"], a["lns"], a["lnb"], a["w1"], a["b1"], a["w2"],
+                      a["b2"], a["ls"], a["dp"])
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-2, atol=1e-2)
+
+
 def test_fused_mlp_hidden_tiling():
     # Dh > 1536 exercises the inner hidden-tile grid axis (nj > 1)
     a = _mlp_args(B=2, T=9, D=256, Dh=2048, seed=3)
@@ -285,10 +300,147 @@ def test_dispatch_rules():
         # ViT-L resident weights exceed the VMEM budget
         assert not bm.use_fused_mlp(1024, 4096, 197, 0.0)
         assert not ba.use_fused_attention(1024, 16, 197, 0.0, True)
-        # dropout, non-128 width, long sequences stay on XLA
+        # dropout, non-32-multiple width, long sequences stay on XLA
         assert not bm.use_fused_mlp(768, 3072, 197, 0.1)
-        assert not bm.use_fused_mlp(192, 768, 197, 0.0)
+        assert not bm.use_fused_mlp(100, 400, 197, 0.0)
+        # Swin/ConvNeXt stage widths (96/192) dispatch since round 4
+        assert bm.use_fused_mlp(96, 384, 56 * 56, 0.0)
+        assert bm.use_fused_mlp(192, 768, 28 * 28, 0.0)
         assert not ba.use_fused_attention(768, 12, 1025, 0.0, True)
         assert not ba.use_fused_attention(768, 12, 197, 0.0, False)
     finally:
         bm._FORCE_ON = ba._FORCE_ON = False
+
+
+# ---------- residual operand + Swin/ConvNeXt half-block dispatch ----------
+
+
+def mlp_res_oracle(x, res, lns, lnb, w1, b1, w2, b2, ls, dp, eps=1e-6):
+    """res + scale·mlp(LN(x)) — the ConvNeXt composition."""
+    xf = x.astype(jnp.float32)
+    y2 = _ln(xf, lns, lnb, eps).astype(jnp.bfloat16)
+    h = (_bdot(y2, w1) + b1).astype(jnp.bfloat16)
+    g = bm._gelu_f32(h.astype(jnp.float32)).astype(jnp.bfloat16)
+    mlp = _bdot(g, w2) + b2
+    scale = (dp[:, :, None] if dp is not None else 1.0) * (ls if ls is not None else 1.0)
+    return (res.astype(jnp.float32) + scale * mlp).astype(x.dtype)
+
+
+@pytest.mark.parametrize("ls,group", [(True, 1), (False, 2)])
+def test_fused_mlp_separate_residual(ls, group):
+    a = _mlp_args(B=2, T=13, D=96, Dh=384, seed=5, ls=ls)
+    res = jax.random.normal(jax.random.PRNGKey(9), a["x"].shape, jnp.float32)
+    got = bm.fused_mlp_block(
+        a["x"], a["lns"], a["lnb"], a["w1"], a["b1"], a["w2"], a["b2"],
+        a["ls"], a["dp"], residual=res, group=group,
+    )
+    want = mlp_res_oracle(a["x"], res, a["lns"], a["lnb"], a["w1"], a["b1"],
+                          a["w2"], a["b2"], a["ls"], a["dp"])
+    # bf16-level tolerance: the kernel and the oracle accumulate the D=96
+    # contraction in different orders (~1e-6 f32 drift), which can flip an
+    # h-element's bf16 rounding by one ulp near a tie
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-2, atol=1e-2)
+
+    # gradients: d(res) must be identity·dout; d(x) the LN chain only
+    w = jnp.cos(jnp.arange(96))
+
+    def loss(fn):
+        return lambda x, r: jnp.sum(
+            fn(x, r, a["lns"], a["lnb"], a["w1"], a["b1"], a["w2"], a["b2"],
+               a["ls"], a["dp"]) * w
+        )
+
+    fused = lambda x, r, *rest: bm.fused_mlp_block(
+        x, *rest[:6], rest[6], rest[7], residual=r
+    )
+    ga = jax.grad(loss(fused), argnums=(0, 1))(a["x"], res)
+    gb = jax.grad(loss(mlp_res_oracle), argnums=(0, 1))(a["x"], res)
+    for n, x, y in zip(("dx", "dres"), ga, gb):
+        scale = max(1.0, float(np.max(np.abs(np.asarray(y)))))
+        np.testing.assert_allclose(
+            np.asarray(x) / scale, np.asarray(y) / scale, atol=2e-2, err_msg=n
+        )
+
+
+@pytest.mark.parametrize("ls_init", [None, 0.1])
+def test_swinblock_fused_mlp_matches_unfused(force_on, ls_init):
+    from vision_toolbox_tpu.models.swin import SwinBlock
+
+    blk = SwinBlock(input_size=8, d_model=32, n_heads=2, window_size=4,
+                    shift=True, layer_scale_init=ls_init)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 8, 8, 32))
+    v = blk.init({"params": jax.random.PRNGKey(0)}, x)
+
+    got = blk.apply(v, x)
+    bm._FORCE_ON = ba._FORCE_ON = False
+    v_plain = blk.init({"params": jax.random.PRNGKey(0)}, x)
+    want = blk.apply(v, x)
+    bm._FORCE_ON = ba._FORCE_ON = True
+
+    # identical param tree from the same rng stream
+    pa = jax.tree_util.tree_leaves_with_path(v)
+    pb = jax.tree_util.tree_leaves_with_path(v_plain)
+    assert [k for k, _ in pa] == [k for k, _ in pb]
+    for (ka, la), (_, lb) in zip(pa, pb):
+        np.testing.assert_array_equal(np.asarray(la), np.asarray(lb), err_msg=str(ka))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=3e-2, atol=3e-2)
+
+    def loss(v):
+        return jnp.sum(blk.apply(v, x) ** 2)
+
+    g_got = jax.grad(loss)(v)
+    bm._FORCE_ON = ba._FORCE_ON = False
+    g_want = jax.grad(loss)(v)
+    bm._FORCE_ON = ba._FORCE_ON = True
+    for (k, a_), (_, b_) in zip(
+        jax.tree_util.tree_leaves_with_path(g_got),
+        jax.tree_util.tree_leaves_with_path(g_want),
+    ):
+        scale = max(1.0, float(np.max(np.abs(np.asarray(b_)))))
+        np.testing.assert_allclose(
+            np.asarray(a_) / scale, np.asarray(b_) / scale, atol=3e-2, err_msg=str(k)
+        )
+
+
+@pytest.mark.parametrize("v2", [False, True])
+def test_convnextblock_fused_mlp_matches_unfused(force_on, v2):
+    from vision_toolbox_tpu.models.convnext import ConvNeXtBlock
+
+    # layer_scale_init=0.3 (not the 1e-6 default) so the bf16-tolerance
+    # comparison sees a non-vanishing MLP contribution; the 1e-6 default is
+    # exactly why the kernel takes the residual as a SEPARATE operand
+    blk = ConvNeXtBlock(d_model=32, layer_scale_init=0.3, v2=v2)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 8, 8, 32))
+    v = blk.init({"params": jax.random.PRNGKey(0)}, x)
+
+    got = blk.apply(v, x)
+    bm._FORCE_ON = False
+    v_plain = blk.init({"params": jax.random.PRNGKey(0)}, x)
+    want = blk.apply(v, x)
+    bm._FORCE_ON = True
+
+    pa = jax.tree_util.tree_leaves_with_path(v)
+    pb = jax.tree_util.tree_leaves_with_path(v_plain)
+    assert [k for k, _ in pa] == [k for k, _ in pb]
+    for (ka, la), (_, lb) in zip(pa, pb):
+        np.testing.assert_array_equal(np.asarray(la), np.asarray(lb), err_msg=str(ka))
+    if v2:  # GRN path must stay byte-identical on XLA (no fused form)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+    else:
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=3e-2, atol=3e-2)
+
+        def loss(v):
+            return jnp.sum(blk.apply(v, x) ** 2)
+
+        g_got = jax.grad(loss)(v)
+        bm._FORCE_ON = False
+        g_want = jax.grad(loss)(v)
+        bm._FORCE_ON = True
+        for (k, a_), (_, b_) in zip(
+            jax.tree_util.tree_leaves_with_path(g_got),
+            jax.tree_util.tree_leaves_with_path(g_want),
+        ):
+            scale = max(1.0, float(np.max(np.abs(np.asarray(b_)))))
+            np.testing.assert_allclose(
+                np.asarray(a_) / scale, np.asarray(b_) / scale, atol=3e-2, err_msg=str(k)
+            )

@@ -59,6 +59,45 @@ class ConvNeXtBlock(nn.Module):
             kernel_init=torch_default_kernel, bias_init=torch_default_bias(49),
             dtype=self.dtype, name="dwconv",
         )(x)
+
+        from ..nn.attention import _LNParams, _LSParams, _Proj
+        from ..ops.block_mlp import fused_mlp_block, use_fused_mlp
+
+        B, H, W, C = y.shape
+        if (
+            not self.v2  # GRN sits between GELU and pwconv2 — no fused form
+            and self.bias
+            and use_fused_mlp(self.d_model, hidden, H * W, 0.0)
+        ):
+            # fused LN→pwconv1→GELU→pwconv2→(LS)→drop-path→residual Pallas
+            # half-block on the flattened map (same kernel as the transformer
+            # MLP half — the v1 block IS that structure, ref convnext.py:29-58
+            # with the dwconv ahead of it). Param twins keep the tree stable.
+            from flax.linen import dtypes
+
+            lns, lnb = _LNParams(self.d_model, name="norm")()
+            w1, b1 = _Proj(self.d_model, hidden, name="pwconv1")()
+            w2, b2 = _Proj(hidden, self.d_model, name="pwconv2")()
+            ls = (
+                _LSParams(self.d_model, layer_scale_init, name="layer_scale")()
+                if layer_scale_init is not None
+                else None
+            )
+            dp = StochasticDepth(self.stochastic_depth, name="droppath").sample_scale(
+                B, train
+            )
+            xb, yb, lns, lnb, w1, b1, w2, b2 = dtypes.promote_dtype(
+                x, y.reshape(B, H * W, C), lns, lnb, w1, b1, w2, b2, dtype=self.dtype
+            )
+            if ls is not None:
+                ls = ls.astype(yb.dtype)
+            out = fused_mlp_block(
+                yb, lns, lnb, w1, b1, w2, b2, ls, dp,
+                residual=xb.reshape(B, H * W, C),
+                eps=self.norm_eps, group=max(1, 256 // (H * W)),
+            )
+            return out.astype(x.dtype).reshape(B, H, W, C)
+
         y = nn.LayerNorm(self.norm_eps, dtype=self.dtype, name="norm")(y)
         y = Linear(hidden, use_bias=self.bias, dtype=self.dtype, name="pwconv1")(y)
         y = _gelu_exact(y)

@@ -180,8 +180,41 @@ class SwinBlock(nn.Module):
         y = StochasticDepth(self.stochastic_depth, name="mha_droppath")(y, train=train)
         x = x + y
 
+        hidden = int(self.d_model * self.mlp_ratio)
+        from ..nn.attention import _LNParams, _LSParams, _MLPParams
+        from ..ops.block_mlp import fused_mlp_block, use_fused_mlp
+
+        B, H, W, C = x.shape
+        if use_fused_mlp(self.d_model, hidden, H * W, self.dropout):
+            # fused LN→MLP→GELU→(LS)→drop-path→residual Pallas half-block on
+            # the flattened (B, H·W, C) map — the MLP hidden stream is Swin's
+            # single biggest byte class (scripts/analyze_swin_bytes.py).
+            # Param-only twin modules keep the tree identical to the XLA path.
+            from flax.linen import dtypes
+
+            lns, lnb = _LNParams(self.d_model, name="mlp_norm")()
+            w1, b1, w2, b2 = _MLPParams(self.d_model, hidden, name="mlp")()
+            ls = (
+                _LSParams(self.d_model, self.layer_scale_init, name="mlp_scale")()
+                if self.layer_scale_init is not None
+                else None
+            )
+            dp = StochasticDepth(self.stochastic_depth, name="mlp_droppath").sample_scale(
+                B, train
+            )
+            xb, lns, lnb, w1, b1, w2, b2 = dtypes.promote_dtype(
+                x.reshape(B, H * W, C), lns, lnb, w1, b1, w2, b2, dtype=self.dtype
+            )
+            if ls is not None:
+                ls = ls.astype(xb.dtype)
+            out = fused_mlp_block(
+                xb, lns, lnb, w1, b1, w2, b2, ls, dp, eps=self.norm_eps,
+                group=max(1, 256 // (H * W)),
+            )
+            return out.astype(x.dtype).reshape(B, H, W, C)
+
         y = nn.LayerNorm(self.norm_eps, dtype=self.dtype, name="mlp_norm")(x)
-        y = MLP(int(self.d_model * self.mlp_ratio), self.dropout, dtype=self.dtype, name="mlp")(y, train=train)
+        y = MLP(hidden, self.dropout, dtype=self.dtype, name="mlp")(y, train=train)
         if self.layer_scale_init is not None:
             y = LayerScale(self.layer_scale_init, name="mlp_scale")(y)
         y = StochasticDepth(self.stochastic_depth, name="mlp_droppath")(y, train=train)

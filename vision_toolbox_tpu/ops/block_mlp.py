@@ -94,6 +94,20 @@ def _pick_group(b: int, group: int) -> int:
     return g
 
 
+def _row_chunk(t: int, target: int = 512) -> int:
+    """Smallest k dividing t with t/k <= target (1 if t already fits). The
+    whole block is positionwise per token, so rows can be re-binned into
+    more, shorter 'images' for free — keeps the kernel's f32 row
+    temporaries (LN/GELU chains) inside VMEM at Swin/ConvNeXt stage-1
+    lengths (T = 56·56)."""
+    if t <= target:
+        return 1
+    for k in range(2, t + 1):
+        if t % k == 0 and t // k <= target:
+            return k
+    return 1  # prime t > target: caller's gate rejects via t_eff
+
+
 def _dp_rows(dp_ref, i, g: int, t: int):
     """Per-sample drop-path scales (SMEM (B, 1) array, program i covers
     samples i·G..i·G+G) → (G·T, 1) f32 row scale."""
@@ -114,9 +128,14 @@ def _ln_f32(x, eps: float):
 
 def _fwd_kernel(
     x_ref, lns_ref, lnb_ref, w1t_ref, b1_ref, w2_ref, b2_ref, ls_ref, dp_ref,
-    out_ref, xhat_ref, rstd_ref, h_ref, *rest,
-    nj: int, ht: int, eps: float, has_ls: bool,
+    *rest,
+    nj: int, ht: int, eps: float, has_ls: bool, has_res: bool,
 ):
+    if has_res:  # separate residual stream (ConvNeXt: res=x, LN input=dwconv(x))
+        res_ref, *rest = rest
+    else:
+        res_ref = None
+    out_ref, xhat_ref, rstd_ref, h_ref, *rest = rest
     if has_ls:
         g_ref, mlpout_ref, y2_scr, acc_scr = rest
     else:
@@ -159,13 +178,13 @@ def _fwd_kernel(
         if has_ls:
             mlpout_ref[...] = mlp.astype(mlpout_ref.dtype).reshape(G, T, D)
         scale = _dp_rows(dp_ref, i, G, T) * ls_ref[0].astype(jnp.float32)
-        out = x_ref[...].reshape(rows, D).astype(jnp.float32) + scale * mlp
-        out_ref[...] = out.astype(out_ref.dtype).reshape(G, T, D)
+        radd = (res_ref if has_res else x_ref)[...].reshape(rows, D).astype(jnp.float32)
+        out_ref[...] = (radd + scale * mlp).astype(out_ref.dtype).reshape(G, T, D)
 
 
 def _bwd_kernel(
     xhat_ref, rstd_ref, dout_ref, h_ref, w1t_ref, w2_ref, lns_ref, ls_ref, dp_ref, *rest,
-    nj: int, ht: int, eps: float, has_ls: bool,
+    nj: int, ht: int, eps: float, has_ls: bool, has_res: bool,
 ):
     if has_ls:
         (mlpout_ref, dx_ref, dh_ref, db1_ref, db2_ref, dlns_ref, dlnb_ref,
@@ -226,13 +245,19 @@ def _bwd_kernel(
         m1 = jnp.mean(dxh, axis=-1, keepdims=True)
         m2 = jnp.mean(dxh * xhat, axis=-1, keepdims=True)
         dx_ln = rstd_ref[...].reshape(rows, 1) * (dxh - m1 - xhat * m2)
-        dout = dout_ref[...].reshape(rows, D).astype(jnp.float32)
-        dx_ref[...] = (dout + dx_ln).astype(dx_ref.dtype).reshape(G, T, D)
+        if has_res:  # residual grad flows through dres (identity, XLA-side)
+            dx_ref[...] = dx_ln.astype(dx_ref.dtype).reshape(G, T, D)
+        else:
+            dout = dout_ref[...].reshape(rows, D).astype(jnp.float32)
+            dx_ref[...] = (dout + dx_ln).astype(dx_ref.dtype).reshape(G, T, D)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10, 11, 12))
-def _fused_mlp(x, lns, lnb, w1, b1, w2, b2, ls, dp, group, has_ls, interpret, eps):
-    out, _ = _fused_mlp_fwd(x, lns, lnb, w1, b1, w2, b2, ls, dp, group, has_ls, interpret, eps)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(10, 11, 12, 13, 14))
+def _fused_mlp(x, lns, lnb, w1, b1, w2, b2, ls, dp, res, group, has_ls, has_res,
+               interpret, eps):
+    out, _ = _fused_mlp_fwd(
+        x, lns, lnb, w1, b1, w2, b2, ls, dp, res, group, has_ls, has_res, interpret, eps
+    )
     return out
 
 
@@ -249,7 +274,8 @@ def _row2(a):
     return a.reshape(1, -1)
 
 
-def _fused_mlp_fwd(x, lns, lnb, w1, b1, w2, b2, ls, dp, group, has_ls, interpret, eps):
+def _fused_mlp_fwd(x, lns, lnb, w1, b1, w2, b2, ls, dp, res, group, has_ls, has_res,
+                   interpret, eps):
     B, T, D, Dh, ht, nj, G = _common(x, w1, group)
     w1t = w1.T  # (Dh, D); one-time relayout, negligible vs activation traffic
     out_shapes = [
@@ -269,20 +295,27 @@ def _fused_mlp_fwd(x, lns, lnb, w1, b1, w2, b2, ls, dp, group, has_ls, interpret
     if has_ls:
         out_shapes.append(jax.ShapeDtypeStruct((B, T, D), jnp.bfloat16))  # mlpout
         out_specs.append(pl.BlockSpec((G, T, D), lambda i, j: (i, 0, 0)))
+    in_specs = [
+        pl.BlockSpec((G, T, D), lambda i, j: (i, 0, 0)),  # x
+        pl.BlockSpec((1, D), lambda i, j: (0, 0)),  # ln scale
+        pl.BlockSpec((1, D), lambda i, j: (0, 0)),  # ln bias
+        pl.BlockSpec((Dh, D), lambda i, j: (0, 0)),  # W1ᵀ (resident)
+        pl.BlockSpec((1, 1, ht), lambda i, j: (j, 0, 0)),  # b1 row for tile j
+        pl.BlockSpec((Dh, D), lambda i, j: (0, 0)),  # W2 (resident)
+        pl.BlockSpec((1, D), lambda i, j: (0, 0)),  # b2
+        pl.BlockSpec((1, D), lambda i, j: (0, 0)),  # layer-scale γ (ones if absent)
+        _SMEM_SPEC(),  # drop-path scale (SMEM, whole array)
+    ]
+    operands = [x, _row2(lns), _row2(lnb), w1t, b1.reshape(nj, 1, ht), w2,
+                _row2(b2), _row2(ls), dp]
+    if has_res:
+        in_specs.append(pl.BlockSpec((G, T, D), lambda i, j: (i, 0, 0)))  # residual
+        operands.append(res)
     outs = pl.pallas_call(
-        functools.partial(_fwd_kernel, nj=nj, ht=ht, eps=eps, has_ls=has_ls),
+        functools.partial(_fwd_kernel, nj=nj, ht=ht, eps=eps, has_ls=has_ls,
+                          has_res=has_res),
         grid=(B // G, nj),
-        in_specs=[
-            pl.BlockSpec((G, T, D), lambda i, j: (i, 0, 0)),  # x
-            pl.BlockSpec((1, D), lambda i, j: (0, 0)),  # ln scale
-            pl.BlockSpec((1, D), lambda i, j: (0, 0)),  # ln bias
-            pl.BlockSpec((Dh, D), lambda i, j: (0, 0)),  # W1ᵀ (resident)
-            pl.BlockSpec((1, 1, ht), lambda i, j: (j, 0, 0)),  # b1 row for tile j
-            pl.BlockSpec((Dh, D), lambda i, j: (0, 0)),  # W2 (resident)
-            pl.BlockSpec((1, D), lambda i, j: (0, 0)),  # b2
-            pl.BlockSpec((1, D), lambda i, j: (0, 0)),  # layer-scale γ (ones if absent)
-            _SMEM_SPEC(),  # drop-path scale (SMEM, whole array)
-        ],
+        in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shapes,
         scratch_shapes=[
@@ -291,7 +324,7 @@ def _fused_mlp_fwd(x, lns, lnb, w1, b1, w2, b2, ls, dp, group, has_ls, interpret
         ],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=24 * 1024 * 1024),
         interpret=interpret,
-    )(x, _row2(lns), _row2(lnb), w1t, b1.reshape(nj, 1, ht), w2, _row2(b2), _row2(ls), dp)
+    )(*operands)
     if has_ls:
         out, xhat, rstd, h, g, mlpout = outs
     else:
@@ -299,8 +332,8 @@ def _fused_mlp_fwd(x, lns, lnb, w1, b1, w2, b2, ls, dp, group, has_ls, interpret
     return out, (xhat, rstd, h, g, w1, w2, lns, lnb, ls, dp, mlpout)
 
 
-def _fused_mlp_bwd(group, has_ls, interpret, eps, res, dout):
-    xhat, rstd, h, g, w1, w2, lns, lnb, ls, dp, mlpout = res
+def _fused_mlp_bwd(group, has_ls, has_res, interpret, eps, saved, dout):
+    xhat, rstd, h, g, w1, w2, lns, lnb, ls, dp, mlpout = saved
     B, T, D, Dh, ht, nj, G = _common(xhat, w1, group)
     w1t = w1.T
     out_shapes = [
@@ -339,7 +372,8 @@ def _fused_mlp_bwd(group, has_ls, interpret, eps, res, dout):
         in_specs.append(pl.BlockSpec((G, T, D), lambda i, j: (i, 0, 0)))
         operands.append(mlpout)
     outs = pl.pallas_call(
-        functools.partial(_bwd_kernel, nj=nj, ht=ht, eps=eps, has_ls=has_ls),
+        functools.partial(_bwd_kernel, nj=nj, ht=ht, eps=eps, has_ls=has_ls,
+                          has_res=has_res),
         grid=(B // G, nj),
         in_specs=in_specs,
         out_specs=out_specs,
@@ -383,6 +417,9 @@ def _fused_mlp_bwd(group, has_ls, interpret, eps, res, dout):
         to(db2[0], w2),
         to(dls[0], ls) if has_ls else jnp.zeros_like(ls),
         jnp.zeros_like(dp),
+        # separate residual: identity path, cotangent = dout. has_res=False
+        # callers alias res=x, so a structural zero keeps d(x) = dx exactly.
+        dout if has_res else jnp.zeros_like(dout),
     )
 
 
@@ -400,11 +437,14 @@ def fused_mlp_block(
     ls_gamma: jax.Array | None = None,
     dp_scale: jax.Array | None = None,
     *,
+    residual: jax.Array | None = None,
     eps: float = 1e-6,
     group: int = 1,
     interpret: bool | None = None,
 ) -> jax.Array:
-    """``x + dp·γ_ls·(gelu(LN(x)@W1+b1)@W2+b2)`` as one fused Pallas program.
+    """``r + dp·γ_ls·(gelu(LN(x)@W1+b1)@W2+b2)`` as one fused Pallas program,
+    where ``r`` is ``residual`` if given (ConvNeXt: the block input ahead of
+    the dwconv) else ``x`` itself (transformer MLP half-block).
 
     x: (B, T, D); w1: (D, Dh); w2: (Dh, D); dp_scale: (B, 1) per-sample
     drop-path scale (mask/keep_p), ones if None. Exact-erf GELU, fast-variance
@@ -414,15 +454,29 @@ def fused_mlp_block(
     if _FORCED_GROUP is not None:
         group = _FORCED_GROUP
     has_ls = ls_gamma is not None
+    has_res = residual is not None
     ls = ls_gamma if has_ls else jnp.ones((x.shape[-1],), jnp.float32)
     dp = dp_scale if dp_scale is not None else jnp.ones((x.shape[0], 1), jnp.float32)
+    res = residual if has_res else x
+
+    B, T, D = x.shape
+    # heavy configs (extra residual/mlpout streams) OOM VMEM at stage-1
+    # lengths; the light config measured FASTER unchunked at T=3136 (+8.5%
+    # vs +5.6% swin_t train), so only re-bin when the streams demand it
+    k = _row_chunk(T, target=512 if (has_res or has_ls) else 3136)
+    if k > 1:  # re-bin long rows (free reshape — the op is positionwise)
+        x = x.reshape(B * k, T // k, D)
+        res = res.reshape(B * k, T // k, D)
+        dp = jnp.repeat(dp, k, axis=0)
+
     # bf16 weights: the kernel's matmuls are bf16×bf16 (VMEM budget counts
     # bf16); autodiff of the cast upcasts f32 callers' weight cotangents
     b16 = lambda a: a.astype(jnp.bfloat16)
-    return _fused_mlp(
-        x, ln_scale, ln_bias, b16(w1), b1, b16(w2), b2, ls, dp,
-        group, has_ls, interpret, float(eps),
+    out = _fused_mlp(
+        x, ln_scale, ln_bias, b16(w1), b1, b16(w2), b2, ls, dp, res,
+        group, has_ls, has_res, interpret, float(eps),
     )
+    return out.reshape(B, T, D) if k > 1 else out
 
 
 # Dispatch: resident-weight budget (both weight matrices live in VMEM for the
@@ -437,11 +491,16 @@ def use_fused_mlp(d_model: int, hidden: int, t: int, dropout: float) -> bool:
     resident = 2 * d_model * hidden * 2  # W1ᵀ + W2, bf16
     if _DISABLE:
         return False
+    t_eff = t // _row_chunk(t)  # long rows are re-binned before the kernel
     ok = (
         dropout == 0.0
-        and d_model % 128 == 0
+        # lane dim: multiples of 32 lower fine (Mosaic pads to 128 lanes —
+        # same padding XLA pays on these channel counts anyway); covers the
+        # Swin/ConvNeXt stage widths 96/192 as well as transformer 384+
+        and d_model % 32 == 0
         and _pick_hidden_tile(hidden) <= 3072
         and resident <= 10 * 1024 * 1024
-        and t * d_model * 4 <= 2 * 1024 * 1024  # f32 row scratches
+        and t_eff * d_model * 4 <= 2 * 1024 * 1024  # f32 row scratches
+        and t_eff * _pick_hidden_tile(hidden) * 4 <= 8 * 1024 * 1024  # f32 GELU temps
     )
     return ok and (_FORCE_ON or jax.default_backend() == "tpu")
