@@ -10,7 +10,7 @@ throughput/latency curve at bs 1/8/32/128 on the real chip.
 
 Amortization method: per batch size, ONE jitted call chain of `steps`
 sequential model invocations (each feeding a scalar perturbation of the
-input so XLA cannot collapse them) with a single device->host readback at
+input, every output folded into one accumulator so none is DCEd) with a single readback at
 the end; ms/batch = wall / steps. This amortizes both the ~24 ms tunnel
 roundtrip and the ~2 ms per-dispatch floor, so small-batch numbers reflect
 device time rather than host latency. Reported separately: `dispatch_ms`,
@@ -53,22 +53,24 @@ def bench_model(name: str, batch_sizes, img: int, steps: int, reps: int,
 
         # chain `steps` calls in ONE jitted program: the artifact's call is
         # traceable, so the chain compiles into a single device program with
-        # no host round-trips between invocations
+        # no host round-trips between invocations. EVERY call's output feeds
+        # the returned accumulator — an unused intermediate would be
+        # dead-code-eliminated and the "chain" would silently measure one
+        # call (observed: cspdarknet53 "65k img/s")
         @jax.jit
         def chain(x):
-            out = None
+            acc = jnp.float32(0)
             for i in range(steps):
                 out = fn(x + jnp.bfloat16(i) * jnp.bfloat16(1e-6))
-            return out
+                acc = acc + jnp.sum(out.astype(jnp.float32))
+            return acc
 
         x = jax.random.uniform(jax.random.PRNGKey(0), (bs, img, img, 3), jnp.bfloat16)
-        out = chain(x)
-        float(jnp.sum(out.astype(jnp.float32)))  # fence (tunnel readback)
+        float(chain(x))  # warm + fence (tunnel readback)
         best = float("inf")
         for _ in range(reps):
             t0 = time.perf_counter()
-            out = chain(x)
-            float(jnp.sum(out.astype(jnp.float32)))
+            float(chain(x))
             best = min(best, (time.perf_counter() - t0) / steps)
 
         # naive single-call latency (includes dispatch + readback)
@@ -98,21 +100,20 @@ def bench_model(name: str, batch_sizes, img: int, steps: int, reps: int,
 
             @jax.jit
             def chain8(x):
-                out = None
+                acc = jnp.float32(0)
                 for i in range(steps):
                     out = quantized_apply(
                         model, qtree, variables,
                         x + jnp.bfloat16(i) * jnp.bfloat16(1e-6),
                     )
-                return out
+                    acc = acc + jnp.sum(out.astype(jnp.float32))
+                return acc
 
-            out = chain8(x)
-            float(jnp.sum(out.astype(jnp.float32)))
+            float(chain8(x))
             best8 = float("inf")
             for _ in range(reps):
                 t0 = time.perf_counter()
-                out = chain8(x)
-                float(jnp.sum(out.astype(jnp.float32)))
+                float(chain8(x))
                 best8 = min(best8, (time.perf_counter() - t0) / steps)
             row["int8_ms_per_batch"] = round(best8 * 1e3, 3)
             row["int8_vs_bf16"] = round(best / best8, 3)
@@ -149,6 +150,7 @@ def main():
     out.write_text(json.dumps({
         "img": args.img, "steps": args.steps,
         "method": "jax.export artifact; one jitted chain of `steps` calls, "
+                  "each output folded into a returned accumulator (no DCE), "
                   "single readback; ms/batch = wall/steps",
         "models": results,
     }, indent=1))
