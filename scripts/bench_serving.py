@@ -51,19 +51,18 @@ def bench_model(name: str, batch_sizes, img: int, steps: int, reps: int,
         blob = export_model(model, variables, (bs, img, img, 3), jnp.bfloat16)
         fn = load_exported(blob)
 
-        # chain `steps` calls in ONE jitted program: the artifact's call is
-        # traceable, so the chain compiles into a single device program with
-        # no host round-trips between invocations. EVERY call's output feeds
-        # the returned accumulator — an unused intermediate would be
-        # dead-code-eliminated and the "chain" would silently measure one
-        # call (observed: cspdarknet53 "65k img/s")
+        # chain `steps` calls in ONE jitted fori_loop: one device program, no
+        # host round-trips between invocations, and the model graph compiles
+        # ONCE (a Python-unrolled chain of 20 model copies took >15 min to
+        # compile). The accumulator consumes every call's output — an unused
+        # intermediate would be dead-code-eliminated and the "chain" would
+        # silently measure one call (observed: cspdarknet53 "65k img/s").
         @jax.jit
         def chain(x):
-            acc = jnp.float32(0)
-            for i in range(steps):
-                out = fn(x + jnp.bfloat16(i) * jnp.bfloat16(1e-6))
-                acc = acc + jnp.sum(out.astype(jnp.float32))
-            return acc
+            def body(i, acc):
+                out = fn(x + i.astype(jnp.bfloat16) * jnp.bfloat16(1e-6))
+                return acc + jnp.sum(out.astype(jnp.float32))
+            return jax.lax.fori_loop(0, steps, body, jnp.float32(0))
 
         x = jax.random.uniform(jax.random.PRNGKey(0), (bs, img, img, 3), jnp.bfloat16)
         float(chain(x))  # warm + fence (tunnel readback)
@@ -100,14 +99,13 @@ def bench_model(name: str, batch_sizes, img: int, steps: int, reps: int,
 
             @jax.jit
             def chain8(x):
-                acc = jnp.float32(0)
-                for i in range(steps):
+                def body(i, acc):
                     out = quantized_apply(
                         model, qtree, variables,
-                        x + jnp.bfloat16(i) * jnp.bfloat16(1e-6),
+                        x + i.astype(jnp.bfloat16) * jnp.bfloat16(1e-6),
                     )
-                    acc = acc + jnp.sum(out.astype(jnp.float32))
-                return acc
+                    return acc + jnp.sum(out.astype(jnp.float32))
+                return jax.lax.fori_loop(0, steps, body, jnp.float32(0))
 
             float(chain8(x))
             best8 = float("inf")

@@ -1,0 +1,24 @@
+#!/bin/bash
+# Round-4 TPU work queue — run top to bottom once the tunnel is alive
+# (probe first: a fresh-shape jitted matmul must compile in < 60 s; see
+# CLAUDE.md "tunnel can DIE COMPLETELY"). Each step owns the chip alone.
+set -x
+
+# 1. batched serving curve (verdict #4) + int8 re-test
+timeout 5400 python scripts/bench_serving.py \
+    --models cspdarknet53,vit_b_16,swin_t,efficientnet_b0
+timeout 3000 python scripts/bench_serving.py --models vit_b_16,deit3_s_16 \
+    --int8 --batches 32,128 --out artifacts/serving_int8.json
+
+# 2. 100-epoch recipe A/B on the hard corpus (verdict #5); corpus must exist
+#    (scripts/make_synth_dataset_v2.py --root /tmp/vtt_synth_hard)
+timeout 14400 python train.py fit --config configs/synth_hard.yaml \
+    --set train.epochs=100 --set runtime.out_dir=runs/synth_hard_100_full
+timeout 14400 python train.py fit --config configs/synth_hard.yaml \
+    --config configs/small.yaml \
+    --set train.epochs=100 --set runtime.out_dir=runs/synth_hard_100_small
+
+# 3. end-of-round refresh: per-model sweep + roofline + headline bench
+timeout 7200 python scripts/benchmark_models.py
+timeout 7200 python scripts/roofline.py
+timeout 1200 python bench.py
