@@ -402,6 +402,43 @@ def test_swinblock_fused_mlp_matches_unfused(force_on, ls_init):
         )
 
 
+def test_mixerblock_fused_channel_mixing_matches_unfused(force_on):
+    from vision_toolbox_tpu.models.mlp_mixer import MixerBlock
+
+    blk = MixerBlock(n_tokens=16, d_model=32)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 16, 32))
+    v = blk.init({"params": jax.random.PRNGKey(0)}, x)
+
+    got = blk.apply(v, x)
+    bm._FORCE_ON = False
+    v_plain = blk.init({"params": jax.random.PRNGKey(0)}, x)
+    want = blk.apply(v, x)
+    bm._FORCE_ON = True
+
+    pa = jax.tree_util.tree_leaves_with_path(v)
+    pb = jax.tree_util.tree_leaves_with_path(v_plain)
+    assert [k for k, _ in pa] == [k for k, _ in pb]
+    for (ka, la), (_, lb) in zip(pa, pb):
+        np.testing.assert_array_equal(np.asarray(la), np.asarray(lb), err_msg=str(ka))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=3e-2, atol=3e-2)
+
+    def loss(v):
+        return jnp.sum(blk.apply(v, x) ** 2)
+
+    g_got = jax.grad(loss)(v)
+    bm._FORCE_ON = False
+    g_want = jax.grad(loss)(v)
+    bm._FORCE_ON = True
+    for (k, a_), (_, b_) in zip(
+        jax.tree_util.tree_leaves_with_path(g_got),
+        jax.tree_util.tree_leaves_with_path(g_want),
+    ):
+        scale = max(1.0, float(np.max(np.abs(np.asarray(b_)))))
+        np.testing.assert_allclose(
+            np.asarray(a_) / scale, np.asarray(b_) / scale, atol=3e-2, err_msg=str(k)
+        )
+
+
 @pytest.mark.parametrize("v2", [False, True])
 def test_convnextblock_fused_mlp_matches_unfused(force_on, v2):
     from vision_toolbox_tpu.models.convnext import ConvNeXtBlock
