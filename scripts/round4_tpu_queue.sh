@@ -18,6 +18,14 @@ timeout 14400 python train.py fit --config configs/synth_hard.yaml \
     --config configs/small.yaml \
     --set train.epochs=100 --set runtime.out_dir=runs/synth_hard_100_small
 
+# 2b. convnext_t infer phase evidence (verdict weak #3, unfinished half)
+timeout 1800 python scripts/analyze_swin_bytes.py --model convnext_t --infer
+timeout 1800 python scripts/analyze_swin_bytes.py --model convnext_t
+
+# 2c. swin shifted-window relayout kernel A/B (ops/swin_relayout.py) —
+#     if positive, set _ENABLED=True in the module and record in BENCHMARKS.md
+timeout 3000 python scripts/measure_swin_relayout.py
+
 # 3. end-of-round refresh: per-model sweep + roofline + headline bench
 timeout 7200 python scripts/benchmark_models.py
 timeout 7200 python scripts/roofline.py

@@ -104,13 +104,24 @@ class WindowAttention(nn.Module):
         # (1, 1, n_heads, w², w²)
         attn_bias = table[:, None, :, :][..., index].astype(x.dtype)
 
+        from ..ops.swin_relayout import (
+            shifted_window_partition, shifted_window_unpartition, use_swin_relayout,
+        )
+
+        fused_relayout = use_swin_relayout(shift)
+        interp = jax.default_backend() != "tpu"
         shift_mask = None
         if shift > 0:
-            x = jnp.roll(x, (-shift, -shift), axis=(1, 2))
             shift_mask = jnp.asarray(_shift_attn_mask(self.input_size, w, shift), x.dtype)
             attn_bias = attn_bias + shift_mask[None, :, None, :, :]  # (1, nW, 1, w², w²)
+            if not fused_relayout:
+                x = jnp.roll(x, (-shift, -shift), axis=(1, 2))
 
-        windows = window_partition(x, w)  # (B, nW, w², C)
+        if fused_relayout:
+            # roll + partition in ONE pass (ops/swin_relayout.py)
+            windows = shifted_window_partition(x, w, shift, interp)
+        else:
+            windows = window_partition(x, w)  # (B, nW, w², C)
         dense = lambda feats, name: nn.Dense(
             feats, use_bias=self.bias, dtype=self.dtype,
             kernel_init=torch_default_kernel, bias_init=torch_default_bias(C),
@@ -146,6 +157,8 @@ class WindowAttention(nn.Module):
             out = out.reshape(*windows.shape[:-1], self.d_model)
         out = dense(self.d_model, "out_proj")(out)
 
+        if fused_relayout:
+            return shifted_window_unpartition(out, w, shift, H, W, interp)
         out = window_unpartition(out, w, H // w, W // w)
         if shift > 0:
             out = jnp.roll(out, (shift, shift), axis=(1, 2))
