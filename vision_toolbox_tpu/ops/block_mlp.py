@@ -462,8 +462,10 @@ def fused_mlp_block(
     B, T, D = x.shape
     # heavy configs (extra residual/mlpout streams) OOM VMEM at stage-1
     # lengths; the light config measured FASTER unchunked at T=3136 (+8.5%
-    # vs +5.6% swin_t train), so only re-bin when the streams demand it
-    k = _row_chunk(T, target=512 if (has_res or has_ls) else 3136)
+    # vs +5.6% swin_t train), so only re-bin when the streams demand it —
+    # and even then only while the unchunked f32 row scratch stays small
+    light = not (has_res or has_ls) and T * D * 4 <= 2 * 1024 * 1024
+    k = _row_chunk(T, target=3136 if light else 512)
     if k > 1:  # re-bin long rows (free reshape — the op is positionwise)
         x = x.reshape(B * k, T // k, D)
         res = res.reshape(B * k, T // k, D)
