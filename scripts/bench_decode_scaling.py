@@ -133,7 +133,10 @@ def main():
         print(f"  decode pool {nt:2d} thread(s): {rate:7.0f} img/s  "
               f"duty {duty * 100:5.1f}% of one chip", flush=True)
 
-    per_thread = rows[0]["img_per_s"]
+    # img/s/thread from the SMALLEST sweep point (exact if it is 1 thread,
+    # a linearity assumption otherwise — don't require --threads to start at 1)
+    base = min(rows, key=lambda r: r["threads"])
+    per_thread = base["img_per_s"] / base["threads"]
     need = args.chip_rate / per_thread
     # scaling efficiency across the sweep (1.0 = linear); on a 1-core host
     # this necessarily reads ~1/threads — the harness exists for real hosts

@@ -308,8 +308,36 @@ def test_dispatch_rules():
         assert bm.use_fused_mlp(192, 768, 28 * 28, 0.0)
         assert not ba.use_fused_attention(768, 12, 1025, 0.0, True)
         assert not ba.use_fused_attention(768, 12, 197, 0.0, False)
+        # vit_b at 320px (T=401): inside the seq gate but the saved-probs
+        # block blows the per-program VMEM budget — must fall back to XLA
+        assert not ba.use_fused_attention(768, 12, 401, 0.0, True)
     finally:
         bm._FORCE_ON = ba._FORCE_ON = False
+
+
+def test_grad_tree_dtypes_match_params():
+    """f32 callers must get f32 gradients back for EVERY leaf — the kernels
+    bf16-cast the weights internally, but cotangent dtypes are part of the
+    param-tree interface (regression: bias grads came back bfloat16)."""
+    a = _mlp_args(B=2, T=13, D=128, Dh=384, seed=2)
+    names = ["x", "lns", "lnb", "w1", "b1", "w2", "b2", "ls"]
+    g = jax.grad(
+        lambda *args: jnp.sum(bm.fused_mlp_block(*args, a["dp"])),
+        argnums=tuple(range(len(names))),
+    )(*[a[n] for n in names])
+    for n, gi in zip(names, g):
+        assert gi.dtype == jnp.float32, f"{n} grad dtype {gi.dtype}"
+
+    b = _attn_args(B=2, T=9, D=128, H=4, seed=2)
+    anames = ["x", "lns", "lnb", "wq", "bq", "wk", "bk", "wv", "bv", "wo", "bo", "ls"]
+    g = jax.grad(
+        lambda *args: jnp.sum(
+            ba.fused_attention_block(args[0], *args[1:3], *args[3:11], 4, args[11], b["dp"])
+        ),
+        argnums=tuple(range(len(anames))),
+    )(*[b[n] for n in anames])
+    for n, gi in zip(anames, g):
+        assert gi.dtype == jnp.float32, f"{n} grad dtype {gi.dtype}"
 
 
 # ---------- residual operand + Swin/ConvNeXt half-block dispatch ----------

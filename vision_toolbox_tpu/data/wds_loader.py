@@ -119,18 +119,17 @@ class WebDatasetLoader:
                 t.start()
             try:
                 live = len(threads)
-                error: BaseException | None = None
                 while live:
                     item = q.get()
                     if isinstance(item, tuple) and item[0] is _SENTINEL:
-                        if item[1] is not None and error is None:
-                            error = item[1]
-                        else:
-                            live -= 1
+                        if item[1] is not None:
+                            # fail FAST: a corrupt shard must not let the
+                            # epoch run on for hours on silently skewed data
+                            # (the finally below cancels + drains the rest)
+                            raise RuntimeError("wds reader stream failed") from item[1]
+                        live -= 1
                         continue
                     yield item
-                if error is not None:
-                    raise RuntimeError("wds reader stream failed") from error
                 for t in threads:
                     t.join()
             finally:

@@ -60,43 +60,31 @@ class ConvNeXtBlock(nn.Module):
             dtype=self.dtype, name="dwconv",
         )(x)
 
-        from ..nn.attention import _LNParams, _LSParams, _Proj
-        from ..ops.block_mlp import fused_mlp_block, use_fused_mlp
+        from ..nn.attention import fused_mlp_halfblock
+        from ..ops.block_mlp import use_fused_mlp
 
         B, H, W, C = y.shape
         if (
             not self.v2  # GRN sits between GELU and pwconv2 — no fused form
             and self.bias
-            and use_fused_mlp(self.d_model, hidden, H * W, 0.0)
+            and use_fused_mlp(self.d_model, hidden, H * W, 0.0,
+                              has_res=True, has_ls=layer_scale_init is not None)
         ):
             # fused LN→pwconv1→GELU→pwconv2→(LS)→drop-path→residual Pallas
             # half-block on the flattened map (same kernel as the transformer
             # MLP half — the v1 block IS that structure, ref convnext.py:29-58
-            # with the dwconv ahead of it). Param twins keep the tree stable.
-            from flax.linen import dtypes
-
-            lns, lnb = _LNParams(self.d_model, name="norm")()
-            w1, b1 = _Proj(self.d_model, hidden, name="pwconv1")()
-            w2, b2 = _Proj(hidden, self.d_model, name="pwconv2")()
-            ls = (
-                _LSParams(self.d_model, layer_scale_init, name="layer_scale")()
-                if layer_scale_init is not None
-                else None
+            # with the dwconv ahead of it); residual = the BLOCK input x,
+            # passed as the kernel's separate-residual operand.
+            out = fused_mlp_halfblock(
+                y.reshape(B, H * W, C), self.d_model, hidden,
+                norm_name="norm", proj_names=("pwconv1", "pwconv2"),
+                ls_init=layer_scale_init, ls_name="layer_scale",
+                sd_rate=self.stochastic_depth, sd_name="droppath",
+                residual=x.reshape(B, H * W, C),
+                eps=self.norm_eps, dtype=self.dtype, train=train,
+                group=max(1, 256 // (H * W)),
             )
-            dp = StochasticDepth(self.stochastic_depth, name="droppath").sample_scale(
-                B, train
-            )
-            xb, yb, lns, lnb, w1, b1, w2, b2 = dtypes.promote_dtype(
-                x, y.reshape(B, H * W, C), lns, lnb, w1, b1, w2, b2, dtype=self.dtype
-            )
-            if ls is not None:
-                ls = ls.astype(yb.dtype)
-            out = fused_mlp_block(
-                yb, lns, lnb, w1, b1, w2, b2, ls, dp,
-                residual=xb.reshape(B, H * W, C),
-                eps=self.norm_eps, group=max(1, 256 // (H * W)),
-            )
-            return out.astype(x.dtype).reshape(B, H, W, C)
+            return out.reshape(B, H, W, C)
 
         y = nn.LayerNorm(self.norm_eps, dtype=self.dtype, name="norm")(y)
         y = Linear(hidden, use_bias=self.bias, dtype=self.dtype, name="pwconv1")(y)

@@ -35,22 +35,17 @@ class MixerBlock(nn.Module):
         y = MLP(tokens_dim, self.dropout, dtype=self.dtype, name="token_mixing")(y, train=train)
         x = x + jnp.swapaxes(y, -1, -2)
 
-        from ..nn.attention import _LNParams, _MLPParams
-        from ..ops.block_mlp import fused_mlp_block, use_fused_mlp
+        from ..nn.attention import fused_mlp_halfblock
+        from ..ops.block_mlp import use_fused_mlp
 
         # channel-mixing half IS the transformer MLP half-block (LN axis ==
         # MLP input axis); token mixing is not (LN over D, MLP over N)
         if use_fused_mlp(self.d_model, channels_dim, x.shape[1], self.dropout):
-            from flax.linen import dtypes
-
-            lns, lnb = _LNParams(self.d_model, name="norm2")()
-            w1, b1, w2, b2 = _MLPParams(self.d_model, channels_dim, name="channel_mixing")()
-            xb, lns, lnb, w1, b1, w2, b2 = dtypes.promote_dtype(
-                x, lns, lnb, w1, b1, w2, b2, dtype=self.dtype
+            return fused_mlp_halfblock(
+                x, self.d_model, channels_dim,
+                norm_name="norm2", mlp_name="channel_mixing",
+                eps=self.norm_eps, dtype=self.dtype, train=train,
             )
-            return fused_mlp_block(
-                xb, lns, lnb, w1, b1, w2, b2, eps=self.norm_eps,
-            ).astype(x.dtype)
 
         y = nn.LayerNorm(self.norm_eps, dtype=self.dtype, name="norm2")(x)
         x = x + MLP(channels_dim, self.dropout, dtype=self.dtype, name="channel_mixing")(y, train=train)

@@ -194,37 +194,24 @@ class SwinBlock(nn.Module):
         x = x + y
 
         hidden = int(self.d_model * self.mlp_ratio)
-        from ..nn.attention import _LNParams, _LSParams, _MLPParams
-        from ..ops.block_mlp import fused_mlp_block, use_fused_mlp
+        from ..nn.attention import fused_mlp_halfblock
+        from ..ops.block_mlp import use_fused_mlp
 
         B, H, W, C = x.shape
-        if use_fused_mlp(self.d_model, hidden, H * W, self.dropout):
+        if use_fused_mlp(self.d_model, hidden, H * W, self.dropout,
+                         has_ls=self.layer_scale_init is not None):
             # fused LN→MLP→GELU→(LS)→drop-path→residual Pallas half-block on
             # the flattened (B, H·W, C) map — the MLP hidden stream is Swin's
             # single biggest byte class (scripts/analyze_swin_bytes.py).
-            # Param-only twin modules keep the tree identical to the XLA path.
-            from flax.linen import dtypes
-
-            lns, lnb = _LNParams(self.d_model, name="mlp_norm")()
-            w1, b1, w2, b2 = _MLPParams(self.d_model, hidden, name="mlp")()
-            ls = (
-                _LSParams(self.d_model, self.layer_scale_init, name="mlp_scale")()
-                if self.layer_scale_init is not None
-                else None
-            )
-            dp = StochasticDepth(self.stochastic_depth, name="mlp_droppath").sample_scale(
-                B, train
-            )
-            xb, lns, lnb, w1, b1, w2, b2 = dtypes.promote_dtype(
-                x.reshape(B, H * W, C), lns, lnb, w1, b1, w2, b2, dtype=self.dtype
-            )
-            if ls is not None:
-                ls = ls.astype(xb.dtype)
-            out = fused_mlp_block(
-                xb, lns, lnb, w1, b1, w2, b2, ls, dp, eps=self.norm_eps,
+            out = fused_mlp_halfblock(
+                x.reshape(B, H * W, C), self.d_model, hidden,
+                norm_name="mlp_norm", mlp_name="mlp",
+                ls_init=self.layer_scale_init, ls_name="mlp_scale",
+                sd_rate=self.stochastic_depth, sd_name="mlp_droppath",
+                eps=self.norm_eps, dtype=self.dtype, train=train,
                 group=max(1, 256 // (H * W)),
             )
-            return out.astype(x.dtype).reshape(B, H, W, C)
+            return out.reshape(B, H, W, C)
 
         y = nn.LayerNorm(self.norm_eps, dtype=self.dtype, name="mlp_norm")(x)
         y = MLP(hidden, self.dropout, dtype=self.dtype, name="mlp")(y, train=train)

@@ -184,6 +184,60 @@ class _MHAParams(nn.Module):
         return wq, bq, wk, bk, wv, bv, wo, bo
 
 
+def fused_mlp_halfblock(
+    x3d: jax.Array,
+    d_model: int,
+    hidden: int,
+    *,
+    norm_name: str,
+    mlp_name: str | None = None,
+    proj_names: tuple[str, str] | None = None,
+    ls_init: float | None = None,
+    ls_name: str | None = None,
+    sd_rate: float = 0.0,
+    sd_name: str | None = None,
+    residual: jax.Array | None = None,
+    eps: float,
+    dtype,
+    train: bool,
+    group: int = 1,
+):
+    """Shared fused-MLP dispatch prologue for every model that routes its
+    LN→MLP→GELU→(LS)→(drop-path)→residual half through ops/block_mlp.py
+    (ViT/DeiT, Swin, ConvNeXt v1, Mixer channel mixing). Declares the
+    param-only TWIN modules (same names, shapes, inits, and rng streams as
+    the unfused flax modules — checkpoints are the interface), promotes
+    dtypes, and calls the kernel. MUST run inside the parent module's
+    compact ``__call__`` so the twins attach to its scope."""
+    from flax.linen import dtypes
+
+    from ..ops.block_mlp import fused_mlp_block
+
+    lns, lnb = _LNParams(d_model, name=norm_name)()
+    if mlp_name is not None:
+        w1, b1, w2, b2 = _MLPParams(d_model, hidden, name=mlp_name)()
+    else:
+        w1, b1 = _Proj(d_model, hidden, name=proj_names[0])()
+        w2, b2 = _Proj(hidden, d_model, name=proj_names[1])()
+    ls = _LSParams(d_model, ls_init, name=ls_name)() if ls_init is not None else None
+    dp = (
+        StochasticDepth(sd_rate, name=sd_name).sample_scale(x3d.shape[0], train)
+        if sd_name is not None
+        else None
+    )
+    xb, res, lns, lnb, w1, b1, w2, b2 = dtypes.promote_dtype(
+        x3d, x3d if residual is None else residual,
+        lns, lnb, w1, b1, w2, b2, dtype=dtype,
+    )
+    if ls is not None:
+        ls = ls.astype(xb.dtype)
+    out = fused_mlp_block(
+        xb, lns, lnb, w1, b1, w2, b2, ls, dp,
+        residual=None if residual is None else res, eps=eps, group=group,
+    )
+    return out.astype(x3d.dtype)
+
+
 class MLP(nn.Module):
     """linear1 → GELU → linear2 → dropout (ref vit.py:51-57)."""
 
@@ -267,31 +321,18 @@ class ViTBlock(nn.Module):
         hidden = int(self.d_model * self.mlp_ratio)
         from ..ops.block_mlp import fused_mlp_block, use_fused_mlp
 
-        if x.ndim == 3 and use_fused_mlp(self.d_model, hidden, x.shape[1], self.dropout):
+        if x.ndim == 3 and use_fused_mlp(self.d_model, hidden, x.shape[1], self.dropout,
+                                         has_ls=self.layer_scale_init is not None):
             # Fused LN→W1→GELU→W2→LayerScale→drop-path→residual Pallas
-            # program (ops/block_mlp.py). Param tree identical to the
-            # unfused branch below (param-only twin modules, same names,
-            # inits, and RNG stream).
-            from flax.linen import dtypes
-
-            lns, lnb = _LNParams(self.d_model, name="mlp_norm")()
-            w1, b1, w2, b2 = _MLPParams(self.d_model, hidden, name="mlp")()
-            ls = (
-                _LSParams(self.d_model, self.layer_scale_init, name="mlp_scale")()
-                if self.layer_scale_init is not None
-                else None
+            # program (ops/block_mlp.py); param tree identical to the
+            # unfused branch below.
+            return fused_mlp_halfblock(
+                x, self.d_model, hidden,
+                norm_name="mlp_norm", mlp_name="mlp",
+                ls_init=self.layer_scale_init, ls_name="mlp_scale",
+                sd_rate=self.stochastic_depth, sd_name="mlp_droppath",
+                eps=self.norm_eps, dtype=self.dtype, train=train,
             )
-            dp = StochasticDepth(self.stochastic_depth, name="mlp_droppath").sample_scale(
-                x.shape[0], train
-            )
-            xb, lns, lnb, w1, b1, w2, b2 = dtypes.promote_dtype(
-                x, lns, lnb, w1, b1, w2, b2, dtype=self.dtype
-            )
-            if ls is not None:
-                ls = ls.astype(xb.dtype)
-            return fused_mlp_block(
-                xb, lns, lnb, w1, b1, w2, b2, ls, dp, eps=self.norm_eps
-            ).astype(x.dtype)
 
         y = nn.LayerNorm(self.norm_eps, dtype=self.dtype, name="mlp_norm")(x)
         y = MLP(hidden, self.dropout, dtype=self.dtype, name="mlp")(y, train=train)

@@ -272,6 +272,9 @@ def _fused_attn_fwd(x, lns, lnb, wq, bq, wk, bk, wv, bv, wo, bo, ls, dp,
         in_specs=[act, vec, vec, w, vec, w, vec, w, vec, w, vec, vec, dpv],
         out_specs=out_specs,
         out_shape=out_shapes,
+        # same raised scoped budget as the backward: the saved-probs block
+        # plus the resident weights graze the 16 MB default at D=768/T=197
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=20 * 1024 * 1024),
         interpret=interpret,
     )(
         x, _row2(lns), _row2(lnb),
@@ -282,11 +285,11 @@ def _fused_attn_fwd(x, lns, lnb, wq, bq, wk, bk, wv, bv, wo, bo, ls, dp,
         out, xhat, rstd, q, k, v, o, p, proj = outs
     else:
         (out, xhat, rstd, q, k, v, o, p), proj = outs, None
-    return out, (xhat, rstd, q, k, v, o, p, wq, wk, wv, wo, lns, lnb, ls, dp, proj)
+    return out, (xhat, rstd, q, k, v, o, p, wq, bq, wk, bk, wv, bv, wo, bo, lns, lnb, ls, dp, proj)
 
 
 def _fused_attn_bwd(n_heads, group, has_ls, interpret, eps, res, dout):
-    xhat, rstd, q, k, v, o, p, wq, wk, wv, wo, lns, lnb, ls, dp, proj = res
+    xhat, rstd, q, k, v, o, p, wq, bq, wk, bk, wv, bv, wo, bo, lns, lnb, ls, dp, proj = res
     B, T, D = xhat.shape
     G = _pick_group(B, group)
     act, w, vec, dpv = _specs(B, T, D, G)
@@ -345,10 +348,12 @@ def _fused_attn_bwd(n_heads, group, has_ls, interpret, eps, res, dout):
         dx,
         to(dlns[0], lns),
         to(dlnb[0], lns),
-        dwq, to(dbq[0], wq),
-        dwk, to(dbk[0], wk),
-        dwv, to(dbv[0], wv),
-        dwo, to(dbo[0], wo),
+        # bias cotangents in the BIAS's dtype (weights were bf16-cast on
+        # entry, biases were not — f32 callers must get f32 bias grads back)
+        dwq, to(dbq[0], bq),
+        dwk, to(dbk[0], bk),
+        dwv, to(dbv[0], bv),
+        dwo, to(dbo[0], bo),
         to(dls[0], ls) if has_ls else jnp.zeros_like(ls),
         jnp.zeros_like(dp),
     )
@@ -398,6 +403,18 @@ _DISABLE = False  # measurement scripts set this for in-model A/B brackets
 _FORCED_GROUP: int | None = None  # measurement override for the group sweep
 
 
+def _program_vmem_bytes(d_model: int, n_heads: int, t: int, g: int = 1) -> int:
+    """Per-program VMEM estimate: resident weights + the T-dependent blocks
+    a grid step streams (x/out/xhat + q/k/v/o + the saved (G,H,T,T) bf16
+    probs + rstd). The backward adds dout/dq/dk/dv in place of some outputs
+    — same order of magnitude, so one bound serves both."""
+    weights = 4 * d_model * d_model * 2  # bf16
+    acts = 9 * g * t * d_model * 2  # bf16 streams (x, out, xhat, q, k, v, o, proj, dout)
+    probs = g * n_heads * t * t * 2
+    rstd = g * t * 4
+    return weights + acts + probs + rstd
+
+
 def use_fused_attention(d_model: int, n_heads: int, t: int, dropout: float, bias: bool) -> bool:
     """Resident 4·D² bf16 weights + whole (T, S) score matrices in VMEM —
     the short-attention regime (T ≤ 512) with the projections folded in."""
@@ -412,5 +429,13 @@ def use_fused_attention(d_model: int, n_heads: int, t: int, dropout: float, bias
         # strict: ViT-L's 4·1024² bf16 weights are exactly 8 MB — together
         # with the per-program activations that over-fills v5e VMEM
         and 4 * d_model * d_model * 2 < 8 * 1024 * 1024
+        # AND budget the T-DEPENDENT blocks, not just the weights: vit_b at
+        # 320px+ (T=401: ~14.1 MB/program incl. the saved probs) passes the
+        # shape gates but must fall back to XLA instead of failing Mosaic
+        # compilation (the bug class a86df16 fixed for the CaiT kernel).
+        # 12 MiB leaves pipeline-buffer headroom under the 20 MiB limit;
+        # vit_b/deit_b @224 (T=197: 8.0 MiB) fit, vit_b @320 (T=401:
+        # 13.5 MiB) falls back.
+        and _program_vmem_bytes(d_model, n_heads, t) <= 12 * 1024 * 1024
     )
     return ok and (_FORCE_ON or jax.default_backend() == "tpu")

@@ -94,6 +94,16 @@ def _pick_group(b: int, group: int) -> int:
     return g
 
 
+def _chunk_plan(t: int, d: int, heavy: bool) -> int:
+    """THE row re-bin policy — used by both the dispatch gate and the kernel
+    wrapper so they can never budget different configurations. Heavy configs
+    (extra residual/mlpout streams) OOM VMEM at stage-1 lengths; the light
+    config measured FASTER unchunked at T=3136 (+8.5% vs +5.6% swin_t train),
+    so it only re-bins when the unchunked f32 row scratch would be large."""
+    light = not heavy and t * d * 4 <= 2 * 1024 * 1024
+    return _row_chunk(t, target=3136 if light else 512)
+
+
 def _row_chunk(t: int, target: int = 512) -> int:
     """Smallest k dividing t with t/k <= target (1 if t already fits). The
     whole block is positionwise per token, so rows can be re-binned into
@@ -329,11 +339,11 @@ def _fused_mlp_fwd(x, lns, lnb, w1, b1, w2, b2, ls, dp, res, group, has_ls, has_
         out, xhat, rstd, h, g, mlpout = outs
     else:
         (out, xhat, rstd, h, g), mlpout = outs, None
-    return out, (xhat, rstd, h, g, w1, w2, lns, lnb, ls, dp, mlpout)
+    return out, (xhat, rstd, h, g, w1, b1, w2, b2, lns, lnb, ls, dp, mlpout)
 
 
 def _fused_mlp_bwd(group, has_ls, has_res, interpret, eps, saved, dout):
-    xhat, rstd, h, g, w1, w2, lns, lnb, ls, dp, mlpout = saved
+    xhat, rstd, h, g, w1, b1, w2, b2, lns, lnb, ls, dp, mlpout = saved
     B, T, D, Dh, ht, nj, G = _common(xhat, w1, group)
     w1t = w1.T
     out_shapes = [
@@ -412,9 +422,11 @@ def _fused_mlp_bwd(group, has_ls, has_res, interpret, eps, saved, dout):
         to(dlns[0], lns),
         to(dlnb[0], lns),
         dw1,
-        to(db1.reshape(Dh), w1),
+        to(db1.reshape(Dh), b1),  # bias cotangent in the BIAS's dtype — the
+        # weights were bf16-cast on entry, the biases were not (f32 callers
+        # must get f32 bias grads back)
         dw2,
-        to(db2[0], w2),
+        to(db2[0], b2),
         to(dls[0], ls) if has_ls else jnp.zeros_like(ls),
         jnp.zeros_like(dp),
         # separate residual: identity path, cotangent = dout. has_res=False
@@ -460,12 +472,7 @@ def fused_mlp_block(
     res = residual if has_res else x
 
     B, T, D = x.shape
-    # heavy configs (extra residual/mlpout streams) OOM VMEM at stage-1
-    # lengths; the light config measured FASTER unchunked at T=3136 (+8.5%
-    # vs +5.6% swin_t train), so only re-bin when the streams demand it —
-    # and even then only while the unchunked f32 row scratch stays small
-    light = not (has_res or has_ls) and T * D * 4 <= 2 * 1024 * 1024
-    k = _row_chunk(T, target=3136 if light else 512)
+    k = _chunk_plan(T, D, heavy=has_res or has_ls)
     if k > 1:  # re-bin long rows (free reshape — the op is positionwise)
         x = x.reshape(B * k, T // k, D)
         res = res.reshape(B * k, T // k, D)
@@ -489,11 +496,13 @@ _DISABLE = False  # measurement scripts set this for in-model A/B brackets
 _FORCED_GROUP: int | None = None  # measurement override for the group sweep
 
 
-def use_fused_mlp(d_model: int, hidden: int, t: int, dropout: float) -> bool:
+def use_fused_mlp(d_model: int, hidden: int, t: int, dropout: float,
+                  has_res: bool = False, has_ls: bool = False) -> bool:
     resident = 2 * d_model * hidden * 2  # W1ᵀ + W2, bf16
     if _DISABLE:
         return False
-    t_eff = t // _row_chunk(t)  # long rows are re-binned before the kernel
+    # budget exactly the configuration the kernel will run (shared plan)
+    t_eff = t // _chunk_plan(t, d_model, heavy=has_res or has_ls)
     ok = (
         dropout == 0.0
         # lane dim: multiples of 32 lower fine (Mosaic pads to 128 lanes —

@@ -52,7 +52,13 @@ class TensorBoardTracker:
     def __init__(self, out_dir: str, config: dict | None = None):
         import os
 
-        from tensorboardX import SummaryWriter
+        try:
+            from tensorboardX import SummaryWriter
+        except ImportError as e:  # pragma: no cover - environment-dependent
+            raise RuntimeError(
+                "runtime.tracker='tensorboard' but the tensorboardX package "
+                "is not installed; use tracker='wandb' or 'none'"
+            ) from e
 
         self._w = SummaryWriter(os.path.join(out_dir, "tb"))
         if config:
