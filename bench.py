@@ -17,13 +17,40 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 from __future__ import annotations
 
 import json
+import socket
+import sys
 import time
 
 import jax
 import jax.numpy as jnp
 
 
+def _require_tunnel() -> None:
+    """Fail FAST if the TPU tunnel relay is down (observed round 4: the
+    relay process can die, after which jax device init / every compile hangs
+    forever with no error — see CLAUDE.md). The relay forwards localhost
+    8082-8117; probe one compile-service port before touching jax."""
+    # read the CONFIG, not default_backend(): backend init itself hangs when
+    # the relay is dead. Default here is "axon,cpu" — only a cpu-FIRST
+    # setting means an explicit CPU run with nothing to probe.
+    platforms = (jax.config.jax_platforms or "").split(",")
+    if platforms and platforms[0].strip() == "cpu":
+        return
+    for port in (8093, 8082, 8083):
+        try:
+            with socket.create_connection(("127.0.0.1", port), timeout=2):
+                return
+        except OSError:
+            continue
+    sys.exit(
+        "bench.py: TPU tunnel relay is DOWN (no listener on 8082/8083/8093; "
+        "`ps aux | grep tpu_init` will show the relay process missing). "
+        "Refusing to hang — restart the tunnel and re-run."
+    )
+
+
 def main():
+    _require_tunnel()
     from vision_toolbox_tpu import create_backbone
     from vision_toolbox_tpu.train import (
         ImageClassifier,
