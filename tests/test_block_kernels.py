@@ -315,6 +315,51 @@ def test_dispatch_rules():
         bm._FORCE_ON = ba._FORCE_ON = False
 
 
+def test_production_train_step_with_fused_paths(force_on):
+    """The PRODUCTION train step (augmentation + smoothed CE + SGD + BN-free
+    transformer) must run with the fused kernels dispatched inside jit and
+    track the unfused step: rng threading, donation, and the custom-vjp
+    paths all compose."""
+    import jax.numpy as jnp
+
+    from vision_toolbox_tpu import create_backbone
+    from vision_toolbox_tpu.train import (
+        ImageClassifier, TrainState, make_train_step, sgd_with_param_groups,
+    )
+
+    def run():
+        model = ImageClassifier(
+            backbone=create_backbone("vit_ti_16", img_size=64),
+            num_classes=10,
+        )
+        v = model.init({"params": jax.random.PRNGKey(0)}, jnp.zeros((1, 64, 64, 3)), train=False)
+        tx = sgd_with_param_groups(v["params"], 0.1, momentum=0.9, weight_decay=1e-4)
+        state = TrainState.create(model.apply, v, tx)
+        step = jax.jit(make_train_step(10, mixup_alpha=0.2, cutmix_alpha=1.0))
+        x = jax.random.uniform(jax.random.PRNGKey(1), (8, 64, 64, 3))
+        y = jax.random.randint(jax.random.PRNGKey(2), (8,), 0, 10)
+        losses = []
+        for i in range(3):
+            state, m = step(state, x, y, jax.random.PRNGKey(3))
+            losses.append(float(m["loss"]))
+        return losses, state
+
+    fused_losses, fused_state = run()
+    bm._FORCE_ON = ba._FORCE_ON = False
+    plain_losses, plain_state = run()
+    bm._FORCE_ON = ba._FORCE_ON = True
+
+    np.testing.assert_allclose(fused_losses, plain_losses, rtol=3e-2, atol=3e-2)
+    for (k, a), (_, b) in zip(
+        jax.tree_util.tree_leaves_with_path(fused_state.params),
+        jax.tree_util.tree_leaves_with_path(plain_state.params),
+    ):
+        scale = max(1.0, float(np.max(np.abs(np.asarray(b)))))
+        np.testing.assert_allclose(
+            np.asarray(a) / scale, np.asarray(b) / scale, atol=3e-2, err_msg=str(k)
+        )
+
+
 def test_grad_tree_dtypes_match_params():
     """f32 callers must get f32 gradients back for EVERY leaf — the kernels
     bf16-cast the weights internally, but cotangent dtypes are part of the
