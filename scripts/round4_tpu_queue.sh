@@ -1,8 +1,10 @@
 #!/bin/bash
-# Round-4 TPU work queue — run top to bottom once the tunnel is alive
-# (probe first: a fresh-shape jitted matmul must compile in < 60 s; see
-# CLAUDE.md "tunnel can DIE COMPLETELY"). Each step owns the chip alone.
+# Round-4 TPU work queue — run top to bottom once the tunnel is alive.
+# Each step owns the chip alone (the tunnel multiplexes, CLAUDE.md).
 set -x
+
+# 0. health gate: relay + fresh compile + sustained throughput
+python scripts/probe_tpu.py || exit 1
 
 # 1. batched serving curve (verdict #4) + int8 re-test
 timeout 5400 python scripts/bench_serving.py \
