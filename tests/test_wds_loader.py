@@ -97,3 +97,28 @@ def test_parallel_streams_cap(shards):
     loader = WebDatasetLoader(shards, 4, _transform, training=True, per_host=False, num_streams=8)
     assert loader.num_streams == 2
     assert len(list(loader)) == 5
+
+
+def test_parallel_streams_fail_fast_on_reader_error(shards, tmp_path):
+    """A corrupt shard must surface IMMEDIATELY (the epoch must not run on
+    silently skewed data until the surviving streams finish) and the reader
+    threads must be cancelled + drained."""
+    import threading
+    import time
+
+    bad = tmp_path / "bad.tar"
+    bad.write_bytes(b"this is not a tar archive at all" * 8)
+    loader = WebDatasetLoader(
+        shards + [str(bad)], 4, _transform, training=True,
+        per_host=False, num_streams=3, seed=0,
+    )
+    n_before = threading.active_count()
+    t0 = time.perf_counter()
+    with pytest.raises(RuntimeError, match="wds reader stream failed"):
+        for _ in loader:
+            pass
+    assert time.perf_counter() - t0 < 10  # fail fast, not at epoch end
+    deadline = time.time() + 5
+    while threading.active_count() > n_before and time.time() < deadline:
+        time.sleep(0.05)
+    assert threading.active_count() <= n_before  # readers cancelled, no leak
