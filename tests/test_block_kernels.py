@@ -435,6 +435,31 @@ def test_fused_mlp_separate_residual(ls, group):
         )
 
 
+def test_fused_mlp_residual_with_row_chunking():
+    """ConvNeXt stage-1 shape class: separate residual AND the heavy-config
+    row re-bin together (T=784 -> k=2 at target 512); per-sample drop-path
+    must land on the right rows after both the repeat and the reshape."""
+    a = _mlp_args(B=2, T=784, D=32, Dh=64, seed=6, ls=True, dp=True)
+    res = jax.random.normal(jax.random.PRNGKey(11), a["x"].shape, jnp.float32)
+    assert bm._chunk_plan(784, 32, heavy=True) == 2
+    got = bm.fused_mlp_block(
+        a["x"], a["lns"], a["lnb"], a["w1"], a["b1"], a["w2"], a["b2"],
+        a["ls"], a["dp"], residual=res,
+    )
+    want = mlp_res_oracle(a["x"], res, a["lns"], a["lnb"], a["w1"], a["b1"],
+                          a["w2"], a["b2"], a["ls"], a["dp"])
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-2, atol=1e-2)
+
+    g_got = jax.grad(lambda r: jnp.sum(bm.fused_mlp_block(
+        a["x"], a["lns"], a["lnb"], a["w1"], a["b1"], a["w2"], a["b2"],
+        a["ls"], a["dp"], residual=r) ** 2))(res)
+    g_want = jax.grad(lambda r: jnp.sum(mlp_res_oracle(
+        a["x"], r, a["lns"], a["lnb"], a["w1"], a["b1"], a["w2"], a["b2"],
+        a["ls"], a["dp"]) ** 2))(res)
+    np.testing.assert_allclose(np.asarray(g_got), np.asarray(g_want),
+                               rtol=1e-2, atol=1e-2)
+
+
 @pytest.mark.parametrize("ls_init", [None, 0.1])
 def test_swinblock_fused_mlp_matches_unfused(force_on, ls_init):
     from vision_toolbox_tpu.models.swin import SwinBlock
