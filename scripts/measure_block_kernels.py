@@ -31,6 +31,10 @@ import vision_toolbox_tpu.ops.block_mlp as bm
 
 MODELS = {
     "vit_b_16": ({"img_size": 224}, 224, 128),
+    # ViT-L exercises the hidden-split MLP chain (2 sequential kernel calls;
+    # bm._ALLOW_HIDDEN_SPLIT is forced on below so the on-arm dispatches).
+    # Flip the module default if this measures positive.
+    "vit_l_16": ({"img_size": 224}, 224, 64),
     "deit3_s_16": ({"img_size": 224}, 224, 128),
     "deit_b_16": ({"img_size": 224}, 224, 128),
     # MLP half-block only (windowed attention / dwconv stay on XLA)
@@ -109,6 +113,9 @@ def main():
     p.add_argument("--models", default="vit_b_16,deit3_s_16")
     p.add_argument("--steps", type=int, default=10)
     args = p.parse_args()
+    # admit the hidden-split chain so the on-arm dispatches for ViT-L/H
+    # (no effect on single-call models; the _DISABLE toggles drive the A/B)
+    bm._ALLOW_HIDDEN_SPLIT = True
     for name in args.models.split(","):
         kwargs, img, bs = MODELS[name]
         print(f"{name} (bs{bs}@{img}):", flush=True)

@@ -28,6 +28,11 @@ timeout 1800 python scripts/analyze_swin_bytes.py --model convnext_t
 #     if positive, set _ENABLED=True in the module and record in BENCHMARKS.md
 timeout 3000 python scripts/measure_swin_relayout.py
 
+# 2d. ViT-L hidden-split fused-MLP chain A/B (ops/block_mlp.py) — if the
+#     mlp arm is positive, set _ALLOW_HIDDEN_SPLIT=True in the module and
+#     record in BENCHMARKS.md
+timeout 3000 python scripts/measure_block_kernels.py --models vit_l_16
+
 # 3. end-of-round refresh: per-model sweep + roofline + headline bench
 timeout 7200 python scripts/benchmark_models.py
 timeout 7200 python scripts/roofline.py

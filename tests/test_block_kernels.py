@@ -297,8 +297,13 @@ def test_dispatch_rules():
     try:
         assert bm.use_fused_mlp(768, 3072, 197, 0.0)
         assert ba.use_fused_attention(768, 12, 197, 0.0, True)
-        # ViT-L resident weights exceed the VMEM budget
+        # ViT-L resident weights exceed the VMEM budget: routes through the
+        # hidden-split chain only once its TPU A/B lands (default off)
         assert not bm.use_fused_mlp(1024, 4096, 197, 0.0)
+        bm._ALLOW_HIDDEN_SPLIT = True
+        assert bm.use_fused_mlp(1024, 4096, 197, 0.0)  # ViT-L: 2-call chain
+        assert bm.use_fused_mlp(1280, 5120, 257, 0.0)  # ViT-H: 4-call chain
+        bm._ALLOW_HIDDEN_SPLIT = False
         assert not ba.use_fused_attention(1024, 16, 197, 0.0, True)
         # dropout, non-32-multiple width, long sequences stay on XLA
         assert not bm.use_fused_mlp(768, 3072, 197, 0.1)
@@ -383,6 +388,88 @@ def test_grad_tree_dtypes_match_params():
     )(*[b[n] for n in anames])
     for n, gi in zip(anames, g):
         assert gi.dtype == jnp.float32, f"{n} grad dtype {gi.dtype}"
+
+
+# ---------- hidden-split chain (ViT-L/H resident-weight overflow) ----------
+
+
+def test_hidden_split_plan():
+    assert bm._hidden_splits(768, 3072) == 1  # ViT-B: single call
+    assert bm._hidden_splits(1024, 4096) == 2  # ViT-L: 16.8 MB resident
+    assert bm._hidden_splits(1280, 5120) == 4  # ViT-H: 26.2 MB resident
+    assert bm._hidden_splits(4096, 15360) == 0  # no feasible plan
+
+
+@pytest.mark.parametrize("ls,dp", [(True, True), (False, False)])
+def test_fused_mlp_hidden_split_matches_oracle(monkeypatch, ls, dp):
+    """Force the 2-call hidden-split chain at test size: output and every
+    gradient must match the oracle (and therefore the single-call kernel)."""
+    a = _mlp_args(B=2, T=13, D=128, Dh=512, seed=7, ls=ls, dp=dp)
+    # 2·128·512·2 = 256 KiB resident — cap the budget to force ns=2
+    monkeypatch.setattr(bm, "_RESIDENT_BUDGET", 160 * 1024)
+    assert bm._hidden_splits(128, 512) == 2
+
+    got = bm.fused_mlp_block(
+        a["x"], a["lns"], a["lnb"], a["w1"], a["b1"], a["w2"], a["b2"],
+        a["ls"], a["dp"],
+    )
+    want = mlp_oracle(a["x"], a["lns"], a["lnb"], a["w1"], a["b1"], a["w2"],
+                      a["b2"], a["ls"], a["dp"])
+    # per-slice partials round through the out dtype between calls (f32 in
+    # this test) and the two bf16 W2 matmuls accumulate in a different order
+    # than the oracle's single contraction
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-2, atol=1e-2)
+
+    names = ["x", "lns", "lnb", "w1", "b1", "w2", "b2"] + (["ls"] if ls else [])
+    w = jnp.cos(jnp.arange(128))
+
+    def loss(fn):
+        def f(*args):
+            kw = dict(zip(names, args))
+            out = fn(
+                kw["x"], kw["lns"], kw["lnb"], kw["w1"], kw["b1"], kw["w2"],
+                kw["b2"], kw.get("ls", None), a["dp"],
+            )
+            return jnp.sum(out * w)
+        return f
+
+    args = [a[n] for n in names]
+    ga = jax.grad(loss(bm.fused_mlp_block), argnums=tuple(range(len(names))))(*args)
+    gb = jax.grad(loss(mlp_oracle), argnums=tuple(range(len(names))))(*args)
+    for n, x, y in zip(names, ga, gb):
+        assert x.dtype == jnp.float32, f"grad {n} dtype {x.dtype}"
+        scale = max(1.0, float(np.max(np.abs(np.asarray(y)))))
+        np.testing.assert_allclose(
+            np.asarray(x) / scale, np.asarray(y) / scale, atol=2e-2, err_msg=f"grad {n}"
+        )
+
+
+def test_fused_mlp_hidden_split_with_residual(monkeypatch):
+    """Split chain composed with a separate residual operand (the ConvNeXt
+    shape class): d(res) must stay exactly the identity cotangent."""
+    a = _mlp_args(B=2, T=9, D=128, Dh=512, seed=8, ls=True, dp=True)
+    res = jax.random.normal(jax.random.PRNGKey(12), a["x"].shape, jnp.float32)
+    monkeypatch.setattr(bm, "_RESIDENT_BUDGET", 160 * 1024)
+
+    got = bm.fused_mlp_block(
+        a["x"], a["lns"], a["lnb"], a["w1"], a["b1"], a["w2"], a["b2"],
+        a["ls"], a["dp"], residual=res,
+    )
+    want = mlp_res_oracle(a["x"], res, a["lns"], a["lnb"], a["w1"], a["b1"],
+                          a["w2"], a["b2"], a["ls"], a["dp"])
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-2, atol=1e-2)
+
+    ga = jax.grad(lambda x, r: jnp.sum(bm.fused_mlp_block(
+        x, a["lns"], a["lnb"], a["w1"], a["b1"], a["w2"], a["b2"],
+        a["ls"], a["dp"], residual=r) ** 2), argnums=(0, 1))(a["x"], res)
+    gb = jax.grad(lambda x, r: jnp.sum(mlp_res_oracle(
+        x, r, a["lns"], a["lnb"], a["w1"], a["b1"], a["w2"], a["b2"],
+        a["ls"], a["dp"]) ** 2), argnums=(0, 1))(a["x"], res)
+    for n, x, y in zip(("dx", "dres"), ga, gb):
+        scale = max(1.0, float(np.max(np.abs(np.asarray(y)))))
+        np.testing.assert_allclose(
+            np.asarray(x) / scale, np.asarray(y) / scale, atol=2e-2, err_msg=n
+        )
 
 
 # ---------- residual operand + Swin/ConvNeXt half-block dispatch ----------

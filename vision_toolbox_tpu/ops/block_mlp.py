@@ -87,6 +87,25 @@ def _pick_hidden_tile(dh: int) -> int:
     return dh
 
 
+_RESIDENT_BUDGET = 10 * 1024 * 1024  # bf16 W1ᵀ+W2 held in VMEM for the grid
+
+
+def _hidden_splits(d_model: int, hidden: int) -> int:
+    """Number of sequential hidden-dim slices so each call's resident
+    weights (W1ᵀ + W2 slices, bf16) fit the VMEM budget. ViT-Ti/S/B need 1;
+    ViT-L (2·1024·4096·2 B = 16.8 MB) needs 2; ViT-H needs 4. 0 = no
+    feasible plan. Shared by the dispatch gate and the wrapper (one plan)."""
+    for ns in (1, 2, 4):
+        if hidden % ns:
+            continue
+        if (
+            2 * d_model * (hidden // ns) * 2 <= _RESIDENT_BUDGET
+            and _pick_hidden_tile(hidden // ns) <= 3072
+        ):
+            return ns
+    return 0
+
+
 def _pick_group(b: int, group: int) -> int:
     g = min(group, b)
     while b % g:
@@ -472,7 +491,9 @@ def fused_mlp_block(
     res = residual if has_res else x
 
     B, T, D = x.shape
-    k = _chunk_plan(T, D, heavy=has_res or has_ls)
+    Dh = w1.shape[1]
+    ns = _hidden_splits(D, Dh) or 1
+    k = _chunk_plan(T, D, heavy=has_res or has_ls or ns > 1)
     if k > 1:  # re-bin long rows (free reshape — the op is positionwise)
         x = x.reshape(B * k, T // k, D)
         res = res.reshape(B * k, T // k, D)
@@ -481,37 +502,63 @@ def fused_mlp_block(
     # bf16 weights: the kernel's matmuls are bf16×bf16 (VMEM budget counts
     # bf16); autodiff of the cast upcasts f32 callers' weight cotangents
     b16 = lambda a: a.astype(jnp.bfloat16)
-    out = _fused_mlp(
-        x, ln_scale, ln_bias, b16(w1), b1, b16(w2), b2, ls, dp, res,
-        group, has_ls, has_res, interpret, float(eps),
-    )
+    if ns == 1:
+        out = _fused_mlp(
+            x, ln_scale, ln_bias, b16(w1), b1, b16(w2), b2, ls, dp, res,
+            group, has_ls, has_res, interpret, float(eps),
+        )
+    else:
+        # hidden-split chain (ViT-L/H class — resident weights exceed the
+        # VMEM budget at full width): mlp(x) = Σ_s gelu(LN(x)@W1_s+b1_s)@W2_s
+        # (+ b2 once), so each slice runs the SAME kernel with the running
+        # partial as its separate-residual operand. The LN is recomputed per
+        # slice (VPU-free); each extra slice costs one extra (B,T,D) stream
+        # of x in and xhat/rstd out. Gradients compose exactly: d(x) sums the
+        # per-slice LN cotangents plus dout via the residual chain; dβ2 lands
+        # on slice 0 only (the zeros_like(b2) operands are non-differentiable).
+        c = Dh // ns
+        cur = res
+        for s in range(ns):
+            sl = slice(s * c, (s + 1) * c)
+            cur = _fused_mlp(
+                x, ln_scale, ln_bias, b16(w1[:, sl]), b1[sl], b16(w2[sl]),
+                b2 if s == 0 else jnp.zeros_like(b2), ls, dp, cur,
+                group, has_ls, True, interpret, float(eps),
+            )
+        out = cur
     return out.reshape(B, T, D) if k > 1 else out
 
 
 # Dispatch: resident-weight budget (both weight matrices live in VMEM for the
 # whole grid) + row bound for the f32 (G·T, D) scratches. ViT-Ti/S/B, DeiT,
-# DeiT3-S/B fit; ViT-L (2·1024·4096·2 B = 16.8 MB resident) does not.
+# DeiT3-S/B fit in one call; ViT-L/H route through the hidden-split chain
+# when _ALLOW_HIDDEN_SPLIT is on (pending its TPU A/B — round4_tpu_queue.sh).
 _FORCE_ON = False  # tests set this to exercise the module dispatch on CPU
 _DISABLE = False  # measurement scripts set this for in-model A/B brackets
 _FORCED_GROUP: int | None = None  # measurement override for the group sweep
+_ALLOW_HIDDEN_SPLIT = False  # flip after scripts/measure_block_kernels.py
+# --model vit_l_16 measures the 2-call chain positive in-model (built round
+# 4 while the tunnel was down; the single-call kernel is +16-28% on ViT-B/
+# DeiT and the chain adds only one extra x/xhat/rstd stream per slice)
 
 
 def use_fused_mlp(d_model: int, hidden: int, t: int, dropout: float,
                   has_res: bool = False, has_ls: bool = False) -> bool:
-    resident = 2 * d_model * hidden * 2  # W1ᵀ + W2, bf16
     if _DISABLE:
         return False
+    ns = _hidden_splits(d_model, hidden)  # shared plan with the wrapper
+    if ns == 0 or (ns > 1 and not _ALLOW_HIDDEN_SPLIT):
+        return False
+    ht = _pick_hidden_tile(hidden // ns)
     # budget exactly the configuration the kernel will run (shared plan)
-    t_eff = t // _chunk_plan(t, d_model, heavy=has_res or has_ls)
+    t_eff = t // _chunk_plan(t, d_model, heavy=has_res or has_ls or ns > 1)
     ok = (
         dropout == 0.0
         # lane dim: multiples of 32 lower fine (Mosaic pads to 128 lanes —
         # same padding XLA pays on these channel counts anyway); covers the
         # Swin/ConvNeXt stage widths 96/192 as well as transformer 384+
         and d_model % 32 == 0
-        and _pick_hidden_tile(hidden) <= 3072
-        and resident <= 10 * 1024 * 1024
         and t_eff * d_model * 4 <= 2 * 1024 * 1024  # f32 row scratches
-        and t_eff * _pick_hidden_tile(hidden) * 4 <= 8 * 1024 * 1024  # f32 GELU temps
+        and t_eff * ht * 4 <= 8 * 1024 * 1024  # f32 GELU temps
     )
     return ok and (_FORCE_ON or jax.default_backend() == "tpu")
