@@ -1,0 +1,183 @@
+"""Pipeline parallelism (parallel/pipeline.py) on the virtual 8-device mesh.
+
+The GPipe schedule must be a pure re-scheduling: outputs and gradients match
+the sequential layer stack up to f32 accumulation-order noise (the f64
+cross-check during development measured 2e-11 worst-case relative grad
+difference — the remaining f32 deltas are ordering, not schedule, effects).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from vision_toolbox_tpu import create_backbone
+from vision_toolbox_tpu.parallel import create_mesh
+from vision_toolbox_tpu.parallel.pipeline import (
+    pipeline_apply,
+    pipeline_param_sharding,
+    stack_block_params,
+    unstack_block_params,
+    vit_pipeline_forward,
+    vit_pipeline_forward_stacked,
+)
+
+
+# ------------------------------------------------------- generic pipeline op
+
+
+def _toy_stack(L=8, D=16, seed=0):
+    ks = jax.random.split(jax.random.PRNGKey(seed), 2)
+    return {
+        "w": jax.random.normal(ks[0], (L, D, D)) * D**-0.5,
+        "b": 0.1 * jax.random.normal(ks[1], (L, D)),
+    }
+
+
+def _toy_stage_fn(params, x):
+    def body(h, p):
+        return jnp.tanh(h @ p["w"] + p["b"]), None
+
+    y, _ = jax.lax.scan(body, x, params)
+    return y
+
+
+def _toy_sequential(stacked, x):
+    return _toy_stage_fn(stacked, x)
+
+
+@pytest.mark.parametrize(
+    "mesh_axes,mesh_shape,batch_axis,M",
+    [
+        (("pipe",), (8,), None, 8),  # pure pp, M == S
+        (("pipe",), (4,), None, 12),  # M > S (bubble amortization)
+        (("data", "pipe"), (2, 4), "data", 6),  # dp × pp
+        (("pipe",), (1,), None, 4),  # degenerate S=1 falls back to scan
+    ],
+)
+def test_pipeline_apply_matches_sequential(mesh_axes, mesh_shape, batch_axis, M):
+    n = int(np.prod(mesh_shape))
+    mesh = create_mesh(mesh_axes, mesh_shape, devices=jax.devices()[:n])
+    stacked = _toy_stack(L=8, D=16)
+    x = jax.random.normal(jax.random.PRNGKey(1), (24, 16))
+    want = _toy_sequential(stacked, x)
+    got = jax.jit(
+        lambda p, x: pipeline_apply(
+            _toy_stage_fn, p, x, mesh=mesh, batch_axis=batch_axis, num_microbatches=M
+        )
+    )(stacked, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5)
+
+
+def test_pipeline_apply_grads_match_sequential():
+    mesh = create_mesh(("pipe",), (4,), devices=jax.devices()[:4])
+    stacked = _toy_stack(L=8, D=16, seed=2)
+    x = jax.random.normal(jax.random.PRNGKey(3), (8, 16))
+    w = jnp.cos(jnp.arange(16))
+
+    def loss(fn):
+        return lambda p, x: jnp.sum(fn(p, x) * w)
+
+    pp = lambda p, x: pipeline_apply(_toy_stage_fn, p, x, mesh=mesh, num_microbatches=4)
+    gp = jax.jit(jax.grad(loss(pp), argnums=(0, 1)))(stacked, x)
+    gs = jax.jit(jax.grad(loss(_toy_sequential), argnums=(0, 1)))(stacked, x)
+    for a, b in zip(jax.tree.leaves(gp), jax.tree.leaves(gs)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)
+
+
+def test_pipeline_apply_rejects_bad_divisibility():
+    mesh = create_mesh(("pipe",), (4,), devices=jax.devices()[:4])
+    stacked = _toy_stack(L=6, D=16)  # 6 % 4 != 0
+    x = jnp.zeros((8, 16))
+    with pytest.raises(AssertionError, match="not divisible by 4 pipeline"):
+        pipeline_apply(_toy_stage_fn, stacked, x, mesh=mesh)
+
+    mesh2 = create_mesh(("data", "pipe"), (2, 4))
+    with pytest.raises(AssertionError, match="microbatch"):
+        pipeline_apply(
+            _toy_stage_fn, _toy_stack(L=8), jnp.zeros((8, 16)),
+            mesh=mesh2, batch_axis="data", num_microbatches=8,
+        )
+
+
+# ------------------------------------------------------------- param layout
+
+
+def test_stack_unstack_roundtrip():
+    vit = create_backbone("vit_ti_16", img_size=32)
+    params = vit.init_variables(0, 32)["params"]
+    stacked, rest = stack_block_params(params)
+    assert jax.tree.leaves(stacked)[0].shape[0] == 12
+    assert not any(k.startswith("block_") for k in rest)
+    back = unstack_block_params(stacked, rest)
+    pa = jax.tree_util.tree_leaves_with_path(params)
+    pb = jax.tree_util.tree_leaves_with_path(back)
+    assert [k for k, _ in pa] == [k for k, _ in pb]
+    for (k, a), (_, b) in zip(pa, pb):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b), err_msg=str(k))
+
+
+# ------------------------------------------------------------------ ViT e2e
+
+
+@pytest.mark.parametrize("pool_type", ["cls_token", "gap"])
+def test_vit_pipeline_forward_matches_sequential(pool_type):
+    vit = create_backbone("vit_ti_16", img_size=32, pool_type=pool_type,
+                          cls_token=pool_type == "cls_token")
+    v = vit.init_variables(0, 32)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (8, 32, 32, 3))
+    want = vit.apply(v, x)
+    mesh = create_mesh(("data", "pipe"), (2, 4))
+    got = jax.jit(
+        lambda v, x: vit_pipeline_forward(vit, v, x, mesh=mesh, batch_axis="data")
+    )(v, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-4)
+
+
+def test_vit_pipeline_train_step_stacked_state():
+    """One SGD step on the production-shaped pipeline state: stacked blocks
+    sharded P(pipe), rest + head replicated; loss finite, params move, and
+    the unstacked result still loads into the sequential model."""
+    mesh = create_mesh(("data", "pipe"), (2, 4))
+    vit = create_backbone("vit_ti_16", img_size=32)
+    v = vit.init_variables(0, 32)
+    stacked, rest = stack_block_params(v["params"])
+    stacked = jax.device_put(stacked, pipeline_param_sharding(stacked, mesh))
+    head = {
+        "kernel": jax.random.normal(jax.random.PRNGKey(5), (192, 10)) * 192**-0.5,
+        "bias": jnp.zeros((10,)),
+    }
+    params = {"blocks": stacked, "rest": rest, "head": head}
+    x = jax.random.uniform(jax.random.PRNGKey(1), (16, 32, 32, 3))
+    y = jax.random.randint(jax.random.PRNGKey(2), (16,), 0, 10)
+
+    def loss_fn(params, x, y):
+        feats = vit_pipeline_forward_stacked(
+            vit, params["blocks"], params["rest"], x,
+            mesh=mesh, batch_axis="data", num_microbatches=8, train=True,
+        )
+        logits = feats @ params["head"]["kernel"] + params["head"]["bias"]
+        logp = jax.nn.log_softmax(logits)
+        return -jnp.mean(jnp.take_along_axis(logp, y[:, None], axis=1))
+
+    @jax.jit
+    def step(params, x, y):
+        loss, grads = jax.value_and_grad(loss_fn)(params, x, y)
+        new = jax.tree.map(lambda p, g: p - 0.1 * g, params, grads)
+        return loss, new
+
+    loss, new_params = step(params, x, y)
+    assert np.isfinite(float(loss))
+    # stacked blocks stayed pipe-sharded through the update
+    spec = jax.tree.leaves(new_params["blocks"])[0].sharding.spec
+    assert spec == jax.sharding.PartitionSpec("pipe")
+    # blocks actually trained
+    d = jax.tree.map(
+        lambda a, b: float(jnp.max(jnp.abs(a - b))), new_params["blocks"], stacked
+    )
+    assert max(jax.tree.leaves(d)) > 0
+    # checkpoint interface: unstack loads back into the sequential model
+    seq_params = unstack_block_params(new_params["blocks"], new_params["rest"])
+    out = vit.apply({"params": seq_params}, x)
+    assert out.shape == (16, 192)

@@ -1,0 +1,307 @@
+"""Pipeline parallelism (GPipe schedule) over a ``pipe`` mesh axis.
+
+Beyond-parity capability (the reference is DP-only, SURVEY.md §2.3): the
+stacked homogeneous transformer blocks (ViT/DeiT families — ref
+backbones/vit.py:60-92 is the block being pipelined) are sharded layer-wise
+over a ``pipe`` mesh axis and microbatches flow stage-to-stage over ICI via
+``lax.ppermute`` inside ``jax.shard_map``. This is the TPU-native shape of
+pipeline parallelism: no per-rank processes or send/recv queues — one jitted
+SPMD program in which XLA overlaps each stage's compute with the
+neighbor-permute of the previous microbatch.
+
+Design:
+  * Block params are **stacked** along a leading layer axis (``(L, ...)``
+    leaves) and sharded ``P("pipe")`` — each stage holds ``L/S`` layers.
+    ``stack_block_params``/``unstack_block_params`` convert to/from the
+    standard per-block param tree, so checkpoints remain interchangeable
+    with the unpipelined models (param trees are the checkpoint interface).
+  * The schedule is GPipe with M microbatches over S stages: ``M + S - 1``
+    scan steps; stage 0 feeds new microbatches, stage S-1 collects outputs,
+    everyone else relays. The bubble fraction is ``(S-1)/(M+S-1)`` — pick
+    ``M >= 4·S`` in production configs.
+  * Autodiff: ``jax.grad`` through the scan + ppermute IS the pipelined
+    backward (the transpose of a ring ppermute is the reverse-ring
+    ppermute), with GPipe's stash-everything activation memory. Combine
+    with ``jax.checkpoint`` on the stage fn to trade FLOPs for memory.
+  * Composes with data parallelism: run on a ``("data", "pipe")`` mesh and
+    shard the batch over ``data`` — each data-rank runs an independent
+    pipeline; gradient all-reduce over ``data`` falls out of shard_map's
+    transpose (params are unvarying over ``data``).
+
+Dropout/stochastic-depth inside pipelined blocks must be disabled (the
+stage fn is applied without rng streams); ViT's default recipe carries its
+regularization in the data pipeline, so this matches production use.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+from jax.sharding import Mesh, PartitionSpec as P
+
+
+# ---------------------------------------------------------------- param trees
+
+
+def stack_block_params(params: dict, prefix: str = "block_") -> tuple[Any, dict]:
+    """Split a param tree into (stacked block tree, rest).
+
+    ``params`` holds per-block subtrees ``{prefix}0 .. {prefix}{L-1}`` (the
+    ViT layout, models/vit.py); the result stacks every leaf along a new
+    leading layer axis — ``(L, ...)`` — ready to shard ``P("pipe")``.
+    """
+    names = sorted(
+        (k for k in params if k.startswith(prefix) and k[len(prefix):].isdigit()),
+        key=lambda k: int(k[len(prefix):]),
+    )
+    assert names, f"no '{prefix}*' blocks in param tree"
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *[params[k] for k in names])
+    rest = {k: v for k, v in params.items() if k not in names}
+    return stacked, rest
+
+
+def unstack_block_params(stacked: Any, rest: dict | None = None, prefix: str = "block_") -> dict:
+    """Inverse of :func:`stack_block_params` — back to the checkpoint layout."""
+    depth = jax.tree.leaves(stacked)[0].shape[0]
+    out = dict(rest or {})
+    for i in range(depth):
+        out[f"{prefix}{i}"] = jax.tree.map(lambda a, i=i: a[i], stacked)
+    return out
+
+
+def make_stage_fn(block: nn.Module, train: bool = False) -> Callable:
+    """Stage function applying a stack of ``block`` layers sequentially.
+
+    ``params`` leaves are ``(layers_per_stage, ...)``; the layer loop is a
+    ``lax.scan`` so the program size is depth-independent and the fused
+    block kernels (ops/block_attention.py, ops/block_mlp.py) dispatch inside
+    the scanned body exactly as in the unpipelined model.
+    """
+
+    def stage_fn(params, x):
+        def body(h, p):
+            return block.apply({"params": p}, h, train=train), None
+
+        y, _ = jax.lax.scan(body, x, params)
+        return y
+
+    return stage_fn
+
+
+# ------------------------------------------------------------------ schedule
+
+
+def pipeline_apply(
+    stage_fn: Callable,
+    stacked_params: Any,
+    x: jax.Array,
+    *,
+    mesh: Mesh,
+    axis: str = "pipe",
+    batch_axis: str | None = None,
+    num_microbatches: int | None = None,
+) -> jax.Array:
+    """Run ``x`` through ``L`` stacked layers pipelined over ``mesh[axis]``.
+
+    ``stacked_params``: leaves ``(L, ...)`` with ``L % S == 0``;
+    ``x``: ``(B, ...)`` activations with ``B % M == 0``. ``stage_fn(params,
+    mb)`` applies one stage's ``L/S`` layers to one microbatch. Other mesh
+    axes: pass ``batch_axis`` to keep the batch sharded over it (data
+    parallel) — every data-rank runs an independent pipeline.
+
+    Returns ``(B, ...)`` outputs, identical (up to scheduling) to applying
+    the L layers sequentially.
+    """
+    S = mesh.shape[axis]
+    M = num_microbatches or max(S, 1)
+    B = x.shape[0]
+    L = jax.tree.leaves(stacked_params)[0].shape[0]
+    assert L % S == 0, f"depth {L} not divisible by {S} pipeline stages"
+    assert B % M == 0, f"batch {B} not divisible by {M} microbatches"
+    if batch_axis is not None:
+        dp = mesh.shape[batch_axis]
+        assert (B // M) % dp == 0, (
+            f"microbatch {B // M} not divisible by the {batch_axis}={dp} axis "
+            f"(global batch {B}, {M} microbatches)"
+        )
+    if S == 1:  # no pipe axis worth scheduling — plain sequential scan
+        return stage_fn(stacked_params, x)
+
+    xs = x.reshape(M, B // M, *x.shape[1:])
+
+    def run(params, xs):
+        stage = jax.lax.axis_index(axis)
+        n_steps = M + S - 1
+        perm = [(i, (i + 1) % S) for i in range(S)]
+
+        def step(carry, t):
+            state, outs = carry
+            # stage 0 ingests microbatch t (clamped — bubble steps feed a
+            # repeat whose output is never collected); others take the relay
+            xin = jax.lax.dynamic_index_in_dim(xs, jnp.minimum(t, M - 1), 0, keepdims=False)
+            cur = jnp.where(stage == 0, xin, state)
+            y = stage_fn(params, cur)
+            # last stage collects microbatch u = t-(S-1) once it's real
+            u = jnp.clip(t - (S - 1), 0, M - 1)
+            upd = jax.lax.dynamic_update_index_in_dim(outs, y, u, 0)
+            outs = jnp.where((stage == S - 1) & (t >= S - 1), upd, outs)
+            nxt = jax.lax.ppermute(y, axis, perm)
+            return (nxt, outs), None
+
+        carry0 = (jnp.zeros_like(xs[0]), jnp.zeros_like(xs))
+        (_, outs), _ = jax.lax.scan(step, carry0, jnp.arange(n_steps))
+        # broadcast the collected outputs from the last stage to every pipe
+        # rank (one all-reduce; keeps the result's sharding pipe-invariant
+        # so the epilogue/loss runs as plain GSPMD outside this region)
+        return jax.lax.psum(jnp.where(stage == S - 1, outs, 0), axis)
+
+    bspec = P(None, batch_axis) if batch_axis else P()
+    outs = jax.shard_map(
+        run,
+        mesh=mesh,
+        in_specs=(P(axis), bspec),
+        out_specs=bspec,
+        check_vma=False,  # axis_index-driven select: per-stage values are
+        # deliberately unreplicated over `axis` until the final psum
+    )(stacked_params, xs)
+    return outs.reshape(B, *x.shape[1:])
+
+
+# ------------------------------------------------------------- ViT front end
+
+
+class _ViTPrologue(nn.Module):
+    """Patch embed + PE + cls concat — the pre-pipeline part of ViT.__call__
+    (models/vit.py:42-71), applied against the SAME param subtree/names.
+    Mirrors ViT._embed exactly (same modules, names, inits) — the
+    equivalence test pins the two together."""
+
+    d_model: int
+    patch_size: int
+    img_size: int
+    cls_token: bool
+    dtype: Any
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        from ..nn.initializers import torch_default_bias, torch_default_kernel
+
+        p = self.patch_size
+        x = nn.Conv(
+            self.d_model, (p, p), strides=(p, p), padding="VALID",
+            kernel_init=torch_default_kernel, bias_init=torch_default_bias(3 * p * p),
+            dtype=self.dtype, name="patch_embed",
+        )(x)
+        out = x.reshape(x.shape[0], -1, self.d_model)
+        n_tokens = (self.img_size // self.patch_size) ** 2
+        pe = self.param("pe", nn.initializers.normal(0.02), (1, n_tokens, self.d_model))
+        out = out + pe.astype(out.dtype)
+        if self.cls_token:
+            cls = self.param("cls_token", nn.initializers.zeros, (1, 1, self.d_model))
+            cls = jnp.broadcast_to(cls, (out.shape[0], 1, self.d_model)).astype(out.dtype)
+            out = jnp.concatenate([cls, out], axis=1)
+        return out
+
+
+class _ViTEpilogue(nn.Module):
+    """Final norm + pooling — the post-pipeline part of ViT.__call__
+    (models/vit.py:74-85), applied against the SAME param subtree/names."""
+
+    d_model: int
+    n_heads: int
+    bias: bool
+    mlp_ratio: float
+    norm_eps: float
+    pool_type: str
+    dtype: Any
+
+    @nn.compact
+    def __call__(self, out: jax.Array, train: bool = False) -> jax.Array:
+        from ..nn.attention import MHAPooling
+
+        norm = nn.LayerNorm(self.norm_eps, dtype=self.dtype, name="norm")
+        if self.pool_type == "cls_token":
+            return norm(out[:, 0])
+        if self.pool_type == "gap":
+            return norm(out).mean(axis=1)
+        if self.pool_type == "mha":
+            pooler = MHAPooling(
+                self.d_model, self.n_heads, self.bias, self.mlp_ratio, self.norm_eps,
+                dtype=self.dtype, name="pooler",
+            )
+            return pooler(norm(out), train=train)
+        raise ValueError(f"unsupported pool_type {self.pool_type}")
+
+
+def vit_pipeline_forward(
+    vit: nn.Module,
+    variables: dict,
+    x: jax.Array,
+    *,
+    mesh: Mesh,
+    axis: str = "pipe",
+    batch_axis: str | None = None,
+    num_microbatches: int | None = None,
+    train: bool = False,
+) -> jax.Array:
+    """ViT forward with the block stack pipelined over ``mesh[axis]``.
+
+    Numerically the same model as ``vit.apply(variables, x)`` (same params,
+    same flax modules for embed/norm/pool, same blocks — only the schedule
+    changes). Prologue and epilogue are tiny (<2% of FLOPs) and run as
+    plain GSPMD on every device.
+    """
+    stacked, rest = stack_block_params(variables["params"])
+    return vit_pipeline_forward_stacked(
+        vit, stacked, rest, x, mesh=mesh, axis=axis, batch_axis=batch_axis,
+        num_microbatches=num_microbatches, train=train,
+    )
+
+
+def vit_pipeline_forward_stacked(
+    vit: nn.Module,
+    stacked: Any,
+    rest: dict,
+    x: jax.Array,
+    *,
+    mesh: Mesh,
+    axis: str = "pipe",
+    batch_axis: str | None = None,
+    num_microbatches: int | None = None,
+    train: bool = False,
+) -> jax.Array:
+    """Same as :func:`vit_pipeline_forward` but on a pre-stacked state —
+    production pipeline training keeps ``(stacked, rest)`` AS the train
+    state (stack once at setup, shard ``P(pipe)``, momentum mirrors it) and
+    converts back to the checkpoint layout with ``unstack_block_params``."""
+    from ..nn.attention import ViTBlock
+
+    prologue = _ViTPrologue(
+        vit.d_model, vit.patch_size, vit.img_size, vit.cls_token, vit.dtype
+    )
+    out = prologue.apply({"params": rest}, x)
+    block = ViTBlock(
+        vit.d_model, vit.n_heads, vit.bias, vit.mlp_ratio, vit.dropout,
+        vit.layer_scale_init, vit.stochastic_depth, vit.norm_eps, dtype=vit.dtype,
+    )
+    out = pipeline_apply(
+        make_stage_fn(block, train=train), stacked, out,
+        mesh=mesh, axis=axis, batch_axis=batch_axis,
+        num_microbatches=num_microbatches,
+    )
+    epilogue = _ViTEpilogue(
+        vit.d_model, vit.n_heads, vit.bias, vit.mlp_ratio, vit.norm_eps,
+        vit.pool_type, vit.dtype,
+    )
+    return epilogue.apply({"params": rest}, out, train=train)
+
+
+def pipeline_param_sharding(stacked: Any, mesh: Mesh, axis: str = "pipe"):
+    """NamedShardings placing the stacked layer axis on the pipe axis."""
+    from jax.sharding import NamedSharding
+
+    return jax.tree.map(lambda _: NamedSharding(mesh, P(axis)), stacked)
