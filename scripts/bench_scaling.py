@@ -75,16 +75,128 @@ def collective_bytes(hlo_text: str) -> dict:
 
 
 def parse_config(spec: str):
-    """'dp8' | 'dp4tp2' | 'fsdp8' -> (mesh axes/sizes, param mode)."""
-    m = re.fullmatch(r"(dp|fsdp)(\d+)(?:tp(\d+))?", spec)
+    """'dp8' | 'dp4tp2' | 'dp2pp4' | 'dp2sp4' | 'fsdp8' -> (axes/sizes, mode)."""
+    m = re.fullmatch(r"(dp|fsdp)(\d+)(?:(tp|pp|sp)(\d+))?", spec)
     if not m:
-        raise SystemExit(f"bad config {spec!r}: use dpN | dpNtpM | fsdpN")
-    kind, n, tp = m.group(1), int(m.group(2)), m.group(3)
+        raise SystemExit(
+            f"bad config {spec!r}: use dpN | dpNtpM | dpNppM | dpNspM | fsdpN"
+        )
+    kind, n, sub, k = m.group(1), int(m.group(2)), m.group(3), m.group(4)
     if kind == "fsdp":
+        if sub:
+            raise SystemExit(f"bad config {spec!r}: fsdp composes with dp only")
         return ("data",), (n,), "fsdp"
-    if tp:
-        return ("data", "model"), (n, int(tp)), "tp"
+    if sub == "tp":
+        return ("data", "model"), (n, int(k)), "tp"
+    if sub == "pp":  # pipeline parallelism (parallel/pipeline.py, ViT models)
+        return ("data", "pipe"), (n, int(k)), "pp"
+    if sub == "sp":  # sequence parallelism (ViT token_sharding hook)
+        return ("data", "seq"), (n, int(k)), "sp"
     return ("data",), (n,), "replicated"
+
+
+def run_pp_config(spec, mesh, model_name, batch, img, dtype, do_time, steps):
+    """Pipeline-parallel leg: GPipe over the 'pipe' axis (parallel/pipeline.py)
+    with the stacked-blocks train state; collective bytes show the ppermute
+    relays + the data-axis grad all-reduce instead of DP's full-tree sync."""
+    import jax
+    import jax.numpy as jnp
+
+    from vision_toolbox_tpu import create_backbone
+    from vision_toolbox_tpu.parallel import shard_batch
+    from vision_toolbox_tpu.parallel.pipeline import (
+        pipeline_param_sharding,
+        stack_block_params,
+        vit_pipeline_forward_stacked,
+    )
+
+    if not model_name.startswith(("vit_", "deit")):
+        raise SystemExit(f"{spec}: pipeline parallelism needs a ViT-family --model")
+    dp, pp = mesh.shape["data"], mesh.shape["pipe"]
+    vit = create_backbone(model_name, img_size=img, dtype=dtype)
+    if vit.depth % pp:
+        print(f"  {spec}: SKIP (depth {vit.depth} % {pp} stages != 0)")
+        return None
+    # microbatches: amortize the (S-1)-step bubble when the batch allows
+    M = next((m for m in (4 * pp, 2 * pp, pp) if batch % m == 0 and (batch // m) % dp == 0), None)
+    if M is None:
+        print(f"  {spec}: SKIP (batch {batch} not divisible into microbatches over dp{dp})")
+        return None
+
+    vvars = vit.init_variables(0, img)
+    stacked, rest = stack_block_params(vvars["params"])
+    stacked = jax.device_put(stacked, pipeline_param_sharding(stacked, mesh))
+    head_k = jax.random.normal(jax.random.PRNGKey(5), (vit.d_model, 1000), jnp.float32) * vit.d_model**-0.5
+    params = {"blocks": stacked, "rest": rest,
+              "head": {"kernel": head_k, "bias": jnp.zeros((1000,))}}
+
+    def loss_fn(params, x, y):
+        feats = vit_pipeline_forward_stacked(
+            vit, params["blocks"], params["rest"], x.astype(dtype),
+            mesh=mesh, batch_axis="data", num_microbatches=M, train=True,
+        )
+        logits = feats.astype(jnp.float32) @ params["head"]["kernel"] + params["head"]["bias"]
+        logp = jax.nn.log_softmax(logits)
+        return -jnp.mean(jnp.take_along_axis(logp, y[:, None], axis=1))
+
+    @jax.jit
+    def step(params, x, y):
+        loss, grads = jax.value_and_grad(loss_fn)(params, x, y)
+        return loss, jax.tree_util.tree_map(lambda p, g: p - 0.1 * g, params, grads)
+
+    images = jax.random.uniform(jax.random.PRNGKey(1), (batch, img, img, 3), jnp.float32)
+    labels = jax.random.randint(jax.random.PRNGKey(2), (batch,), 0, 1000)
+    images, labels = shard_batch((images, labels), mesh)
+
+    lowered = step.lower(params, images, labels)
+    compiled = lowered.compile()
+    coll = collective_bytes(compiled.as_text())
+    mem = {}
+    try:
+        ma = compiled.memory_analysis()
+        mem = {
+            "argument_mb": round(ma.argument_size_in_bytes / 2**20, 1),
+            "output_mb": round(ma.output_size_in_bytes / 2**20, 1),
+            "temp_mb": round(ma.temp_size_in_bytes / 2**20, 1),
+        }
+    except Exception:
+        pass
+
+    row = {
+        "config": spec,
+        "mesh": dict(mesh.shape),
+        "devices": dp * pp,
+        "global_batch": batch,
+        "microbatches": M,
+        "stages": pp,
+        "collectives": coll,
+        "collective_mb_per_step": round(sum(e["bytes"] for e in coll.values()) / 2**20, 2),
+        "memory": mem,
+    }
+    if do_time:
+        import time as _time
+
+        p = params
+        for _ in range(2):
+            loss, p = step(p, images, labels)
+        float(loss)
+        best = float("inf")
+        for _ in range(3):
+            t0 = _time.perf_counter()
+            for _ in range(steps):
+                loss, p = step(p, images, labels)
+            float(loss)
+            best = min(best, (_time.perf_counter() - t0) / steps)
+        row["ms_per_step"] = round(best * 1e3, 2)
+        row["img_per_s"] = round(batch / best, 1)
+
+    kinds = ", ".join(
+        f"{k}×{v['count']} {v['bytes'] / 2**20:.1f}MB" for k, v in sorted(coll.items())
+    ) or "none"
+    t = f"  {row['ms_per_step']} ms/step  {row['img_per_s']} img/s" if do_time else ""
+    print(f"  {spec}: mesh {row['mesh']} ({pp} stages, {M} microbatches)  "
+          f"collectives: {kinds}{t}", flush=True)
+    return row
 
 
 def run_config(spec: str, model_name: str, batch: int, img: int, dtype, do_time: bool, steps: int):
@@ -107,9 +219,24 @@ def run_config(spec: str, model_name: str, batch: int, img: int, dtype, do_time:
         print(f"  {spec}: SKIP (needs {n_dev} devices, have {len(jax.devices())})")
         return None
     mesh = create_mesh(axes, sizes, devices=jax.devices()[:n_dev])
+    if mode == "pp":
+        return run_pp_config(spec, mesh, model_name, batch, img, dtype, do_time, steps)
 
+    backbone_kwargs = {}
+    if model_name.startswith(("vit_", "deit", "cait", "swin", "mlp_mixer")):
+        backbone_kwargs["img_size"] = img  # size-dependent PE/masks
+    if mode == "sp":
+        if not model_name.startswith(("vit_", "deit")):
+            raise SystemExit(f"{spec}: sequence parallelism needs a ViT-family --model")
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        backbone_kwargs["token_sharding"] = NamedSharding(mesh, P("data", "seq"))
+        # the cls token makes T odd (un-shardable); sp runs the gap variant
+        backbone_kwargs["cls_token"] = False
+        backbone_kwargs["pool_type"] = "gap"
     model = ImageClassifier(
-        backbone=create_backbone(model_name, dtype=dtype), num_classes=1000, dtype=dtype
+        backbone=create_backbone(model_name, dtype=dtype, **backbone_kwargs),
+        num_classes=1000, dtype=dtype,
     )
     variables = model.init(
         {"params": jax.random.PRNGKey(0)}, jnp.zeros((1, img, img, 3)), train=False
@@ -215,6 +342,9 @@ def main():
             configs += [f"dp{top // 2}tp2", f"fsdp{top}"]
         if top >= 8:
             configs.append(f"dp{top // 4}tp4")
+        if args.model.startswith(("vit_", "deit")) and top >= 4:
+            # pipeline + sequence parallel legs (ViT families only)
+            configs += [f"dp{top // 4}pp4", f"dp{top // 2}sp2"]
 
     print(f"scaling sweep: backend={jax.default_backend()} devices={len(jax.devices())} "
           f"model={args.model} global_batch={args.batch}@{args.img} dtype={dtype_name}")

@@ -37,8 +37,12 @@ def test_parse_config_grammar():
     assert parse_config("dp8") == (("data",), (8,), "replicated")
     assert parse_config("dp4tp2") == (("data", "model"), (4, 2), "tp")
     assert parse_config("fsdp8") == (("data",), (8,), "fsdp")
+    assert parse_config("dp2pp4") == (("data", "pipe"), (2, 4), "pp")
+    assert parse_config("dp4sp2") == (("data", "seq"), (4, 2), "sp")
     with pytest.raises(SystemExit):
         parse_config("tp8")
+    with pytest.raises(SystemExit):
+        parse_config("fsdp4pp2")
 
 
 @pytest.mark.parametrize(
@@ -51,3 +55,23 @@ def test_sweep_runs_on_virtual_mesh(spec, expected_kinds):
     assert row is not None
     assert expected_kinds <= set(row["collectives"])
     assert row["collective_mb_per_step"] > 0
+
+
+def test_pp_leg_emits_permutes():
+    """Pipeline config: stage relays must appear as collective-permutes and
+    the data-axis grad sync as all-reduces over the stage-local params."""
+    row = run_config("dp2pp4", "vit_ti_16", batch=16, img=32,
+                     dtype=jnp.float32, do_time=False, steps=1)
+    assert row is not None
+    assert row["stages"] == 4 and row["microbatches"] >= 4
+    assert "collective-permute" in row["collectives"]
+    assert "all-reduce" in row["collectives"]
+
+
+def test_sp_leg_emits_gathers():
+    """Sequence-parallel config (gap ViT): attention k/v gathering must show
+    up as all-gathers in the compiled step."""
+    row = run_config("dp2sp2", "vit_ti_16", batch=8, img=32,
+                     dtype=jnp.float32, do_time=False, steps=1)
+    assert row is not None
+    assert "all-gather" in row["collectives"]

@@ -38,6 +38,31 @@ class ViT(nn.Module):
     stochastic_depth: float = 0.0
     norm_eps: float = 1e-6
     dtype: Any = None
+    # Sequence parallelism hook: a NamedSharding for the (B, T, D) token
+    # activations (e.g. NamedSharding(mesh, P("data", "seq"))). Re-asserted
+    # after the embed and before every block so GSPMD partitions the
+    # positionwise work (LN/MLP/projections) over the token axis and inserts
+    # k/v all-gathers only around the attention contractions. Beyond-parity
+    # (the reference is DP-only); exercised by scripts/bench_scaling.py spN.
+    token_sharding: Any = None
+
+    def _constrain(self, x: jax.Array) -> jax.Array:
+        if self.token_sharding is None:
+            return x
+        try:
+            self.token_sharding.shard_shape(x.shape)
+        except Exception:
+            if x.shape[0] > 1:  # the batch-1 init dummy skips silently
+                import warnings
+
+                warnings.warn(
+                    f"token_sharding {self.token_sharding.spec} does not divide "
+                    f"activations {x.shape} — constraint skipped (cls_token makes "
+                    f"T odd; use cls_token=False/pool_type='gap' for sequence "
+                    f"parallelism)", stacklevel=2,
+                )
+            return x
+        return jax.lax.with_sharding_constraint(x, self.token_sharding)
 
     def _embed(self, x: jax.Array) -> jax.Array:
         """Patch-embed NHWC image → (B, H*W, C) tokens + learned PE."""
@@ -55,6 +80,7 @@ class ViT(nn.Module):
 
     def _blocks(self, x: jax.Array, train: bool) -> jax.Array:
         for i in range(self.depth):
+            x = self._constrain(x)
             x = ViTBlock(
                 self.d_model, self.n_heads, self.bias, self.mlp_ratio, self.dropout,
                 self.layer_scale_init, self.stochastic_depth, self.norm_eps,

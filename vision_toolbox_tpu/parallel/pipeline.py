@@ -73,18 +73,26 @@ def unstack_block_params(stacked: Any, rest: dict | None = None, prefix: str = "
     return out
 
 
-def make_stage_fn(block: nn.Module, train: bool = False) -> Callable:
+def make_stage_fn(block: nn.Module, train: bool = False, remat: bool = False) -> Callable:
     """Stage function applying a stack of ``block`` layers sequentially.
 
     ``params`` leaves are ``(layers_per_stage, ...)``; the layer loop is a
     ``lax.scan`` so the program size is depth-independent and the fused
     block kernels (ops/block_attention.py, ops/block_mlp.py) dispatch inside
-    the scanned body exactly as in the unpipelined model.
+    the scanned body exactly as in the unpipelined model. ``remat=True``
+    checkpoints each layer — GPipe stashes activations for every in-flight
+    microbatch, so rematerialization is the standard memory lever here.
     """
+
+    def apply_block(p, h):
+        return block.apply({"params": p}, h, train=train)
+
+    if remat:
+        apply_block = jax.checkpoint(apply_block)
 
     def stage_fn(params, x):
         def body(h, p):
-            return block.apply({"params": p}, h, train=train), None
+            return apply_block(p, h), None
 
         y, _ = jax.lax.scan(body, x, params)
         return y
@@ -247,6 +255,7 @@ def vit_pipeline_forward(
     batch_axis: str | None = None,
     num_microbatches: int | None = None,
     train: bool = False,
+    remat: bool = False,
 ) -> jax.Array:
     """ViT forward with the block stack pipelined over ``mesh[axis]``.
 
@@ -258,7 +267,7 @@ def vit_pipeline_forward(
     stacked, rest = stack_block_params(variables["params"])
     return vit_pipeline_forward_stacked(
         vit, stacked, rest, x, mesh=mesh, axis=axis, batch_axis=batch_axis,
-        num_microbatches=num_microbatches, train=train,
+        num_microbatches=num_microbatches, train=train, remat=remat,
     )
 
 
@@ -273,6 +282,7 @@ def vit_pipeline_forward_stacked(
     batch_axis: str | None = None,
     num_microbatches: int | None = None,
     train: bool = False,
+    remat: bool = False,
 ) -> jax.Array:
     """Same as :func:`vit_pipeline_forward` but on a pre-stacked state —
     production pipeline training keeps ``(stacked, rest)`` AS the train
@@ -289,7 +299,7 @@ def vit_pipeline_forward_stacked(
         vit.layer_scale_init, vit.stochastic_depth, vit.norm_eps, dtype=vit.dtype,
     )
     out = pipeline_apply(
-        make_stage_fn(block, train=train), stacked, out,
+        make_stage_fn(block, train=train, remat=remat), stacked, out,
         mesh=mesh, axis=axis, batch_axis=batch_axis,
         num_microbatches=num_microbatches,
     )
