@@ -181,3 +181,49 @@ def test_vit_pipeline_train_step_stacked_state():
     seq_params = unstack_block_params(new_params["blocks"], new_params["rest"])
     out = vit.apply({"params": seq_params}, x)
     assert out.shape == (16, 192)
+
+
+# ------------------------------------------------- sequence parallelism (sp)
+
+
+def test_token_sharding_is_semantics_free():
+    """ViT.token_sharding only re-lays out the token axis — outputs must be
+    identical (up to f32 reassociation) to the unconstrained model, and the
+    param tree must not change (the hook adds no params)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    mesh = create_mesh(("data", "seq"), (2, 4))
+    kw = dict(img_size=32, cls_token=False, pool_type="gap")
+    vit_sp = create_backbone(
+        "vit_ti_16", token_sharding=NamedSharding(mesh, P("data", "seq")), **kw
+    )
+    vit = create_backbone("vit_ti_16", **kw)
+    v = vit.init_variables(0, 32)
+    v_sp = vit_sp.init_variables(0, 32)
+    pa = jax.tree_util.tree_leaves_with_path(v)
+    pb = jax.tree_util.tree_leaves_with_path(v_sp)
+    assert [k for k, _ in pa] == [k for k, _ in pb]
+
+    x = jax.random.uniform(jax.random.PRNGKey(1), (8, 32, 32, 3))
+    want = vit.apply(v, x)
+    got = jax.jit(lambda v, x: vit_sp.apply(v, x))(v, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5)
+
+
+def test_pipeline_remat_matches():
+    """remat=True must be a pure memory/flops trade — same values, same grads."""
+    mesh = create_mesh(("pipe",), (4,), devices=jax.devices()[:4])
+    vit = create_backbone("vit_ti_16", img_size=32)
+    v = vit.init_variables(0, 32)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (8, 32, 32, 3))
+
+    def loss(v, x, remat):
+        return jnp.sum(
+            vit_pipeline_forward(vit, v, x, mesh=mesh, num_microbatches=4, remat=remat) ** 2
+        )
+
+    la, ga = jax.jit(jax.value_and_grad(lambda v: loss(v, x, True)))(v)
+    lb, gb = jax.jit(jax.value_and_grad(lambda v: loss(v, x, False)))(v)
+    np.testing.assert_allclose(float(la), float(lb), rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(ga), jax.tree.leaves(gb)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)
