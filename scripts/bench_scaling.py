@@ -95,12 +95,58 @@ def parse_config(spec: str):
     return ("data",), (n,), "replicated"
 
 
+def _compiled_stats(compiled):
+    """Collective traffic + memory analysis of one compiled step."""
+    coll = collective_bytes(compiled.as_text())
+    mem = {}
+    try:
+        ma = compiled.memory_analysis()
+        mem = {
+            "argument_mb": round(ma.argument_size_in_bytes / 2**20, 1),
+            "output_mb": round(ma.output_size_in_bytes / 2**20, 1),
+            "temp_mb": round(ma.temp_size_in_bytes / 2**20, 1),
+        }
+    except Exception:
+        pass  # memory analysis is backend-dependent; optional
+    return coll, mem
+
+
+def _attach_timing(row, advance, carry, batch, steps):
+    """2 warmup + best-of-3×steps with a host-readback fence (CLAUDE.md:
+    block_until_ready returns early over the tunnel). ``advance(carry) ->
+    (carry, fence_scalar)``."""
+    for _ in range(2):
+        carry, fence = advance(carry)
+    float(fence)
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(steps):
+            carry, fence = advance(carry)
+        float(fence)
+        best = min(best, (time.perf_counter() - t0) / steps)
+    row["ms_per_step"] = round(best * 1e3, 2)
+    row["img_per_s"] = round(batch / best, 1)
+
+
+def _print_row(spec, row, extra=""):
+    kinds = ", ".join(
+        f"{k}×{v['count']} {v['bytes'] / 2**20:.1f}MB"
+        for k, v in sorted(row["collectives"].items())
+    ) or "none"
+    t = f"  {row['ms_per_step']} ms/step  {row['img_per_s']} img/s" if "ms_per_step" in row else ""
+    print(f"  {spec}: mesh {row['mesh']}{extra}  collectives: {kinds}{t}", flush=True)
+
+
 def run_pp_config(spec, mesh, model_name, batch, img, dtype, do_time, steps):
     """Pipeline-parallel leg: GPipe over the 'pipe' axis (parallel/pipeline.py)
     with the stacked-blocks train state; collective bytes show the ppermute
-    relays + the data-axis grad all-reduce instead of DP's full-tree sync."""
+    relays + the data-axis grad all-reduce instead of DP's full-tree sync.
+    The step matches the other configs' shape (label-smoothed CE, SGD with
+    3-group weight decay) so timing rows are comparable."""
     import jax
     import jax.numpy as jnp
+    import optax
 
     from vision_toolbox_tpu import create_backbone
     from vision_toolbox_tpu.parallel import shard_batch
@@ -109,9 +155,13 @@ def run_pp_config(spec, mesh, model_name, batch, img, dtype, do_time, steps):
         stack_block_params,
         vit_pipeline_forward_stacked,
     )
+    from vision_toolbox_tpu.train import sgd_with_param_groups
+    from vision_toolbox_tpu.train.classifier import cross_entropy
 
-    if not model_name.startswith(("vit_", "deit")):
-        raise SystemExit(f"{spec}: pipeline parallelism needs a ViT-family --model")
+    if not model_name.startswith(("vit_", "deit3_")):
+        # DeiT's dist-token __call__ is not mirrored by the pipeline front end
+        raise SystemExit(f"{spec}: pipeline parallelism needs a plain-ViT --model "
+                         f"(vit_* | deit3_*)")
     dp, pp = mesh.shape["data"], mesh.shape["pipe"]
     vit = create_backbone(model_name, img_size=img, dtype=dtype)
     if vit.depth % pp:
@@ -129,6 +179,8 @@ def run_pp_config(spec, mesh, model_name, batch, img, dtype, do_time, steps):
     head_k = jax.random.normal(jax.random.PRNGKey(5), (vit.d_model, 1000), jnp.float32) * vit.d_model**-0.5
     params = {"blocks": stacked, "rest": rest,
               "head": {"kernel": head_k, "bias": jnp.zeros((1000,))}}
+    tx = sgd_with_param_groups(params, 0.1, momentum=0.9, weight_decay=2e-5)
+    opt_state = tx.init(params)
 
     def loss_fn(params, x, y):
         feats = vit_pipeline_forward_stacked(
@@ -136,32 +188,20 @@ def run_pp_config(spec, mesh, model_name, batch, img, dtype, do_time, steps):
             mesh=mesh, batch_axis="data", num_microbatches=M, train=True,
         )
         logits = feats.astype(jnp.float32) @ params["head"]["kernel"] + params["head"]["bias"]
-        logp = jax.nn.log_softmax(logits)
-        return -jnp.mean(jnp.take_along_axis(logp, y[:, None], axis=1))
+        return cross_entropy(logits, y, label_smoothing=0.1)
 
     @jax.jit
-    def step(params, x, y):
+    def step(params, opt_state, x, y):
         loss, grads = jax.value_and_grad(loss_fn)(params, x, y)
-        return loss, jax.tree_util.tree_map(lambda p, g: p - 0.1 * g, params, grads)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return loss, optax.apply_updates(params, updates), opt_state
 
     images = jax.random.uniform(jax.random.PRNGKey(1), (batch, img, img, 3), jnp.float32)
     labels = jax.random.randint(jax.random.PRNGKey(2), (batch,), 0, 1000)
     images, labels = shard_batch((images, labels), mesh)
 
-    lowered = step.lower(params, images, labels)
-    compiled = lowered.compile()
-    coll = collective_bytes(compiled.as_text())
-    mem = {}
-    try:
-        ma = compiled.memory_analysis()
-        mem = {
-            "argument_mb": round(ma.argument_size_in_bytes / 2**20, 1),
-            "output_mb": round(ma.output_size_in_bytes / 2**20, 1),
-            "temp_mb": round(ma.temp_size_in_bytes / 2**20, 1),
-        }
-    except Exception:
-        pass
-
+    compiled = step.lower(params, opt_state, images, labels).compile()
+    coll, mem = _compiled_stats(compiled)
     row = {
         "config": spec,
         "mesh": dict(mesh.shape),
@@ -174,28 +214,13 @@ def run_pp_config(spec, mesh, model_name, batch, img, dtype, do_time, steps):
         "memory": mem,
     }
     if do_time:
-        import time as _time
+        def advance(carry):
+            p, o = carry
+            loss, p, o = step(p, o, images, labels)
+            return (p, o), loss
 
-        p = params
-        for _ in range(2):
-            loss, p = step(p, images, labels)
-        float(loss)
-        best = float("inf")
-        for _ in range(3):
-            t0 = _time.perf_counter()
-            for _ in range(steps):
-                loss, p = step(p, images, labels)
-            float(loss)
-            best = min(best, (_time.perf_counter() - t0) / steps)
-        row["ms_per_step"] = round(best * 1e3, 2)
-        row["img_per_s"] = round(batch / best, 1)
-
-    kinds = ", ".join(
-        f"{k}×{v['count']} {v['bytes'] / 2**20:.1f}MB" for k, v in sorted(coll.items())
-    ) or "none"
-    t = f"  {row['ms_per_step']} ms/step  {row['img_per_s']} img/s" if do_time else ""
-    print(f"  {spec}: mesh {row['mesh']} ({pp} stages, {M} microbatches)  "
-          f"collectives: {kinds}{t}", flush=True)
+        _attach_timing(row, advance, (params, opt_state), batch, steps)
+    _print_row(spec, row, extra=f" ({pp} stages, {M} microbatches)")
     return row
 
 
@@ -226,8 +251,10 @@ def run_config(spec: str, model_name: str, batch: int, img: int, dtype, do_time:
     if model_name.startswith(("vit_", "deit", "cait", "swin", "mlp_mixer")):
         backbone_kwargs["img_size"] = img  # size-dependent PE/masks
     if mode == "sp":
-        if not model_name.startswith(("vit_", "deit")):
-            raise SystemExit(f"{spec}: sequence parallelism needs a ViT-family --model")
+        if not model_name.startswith(("vit_", "deit3_")):
+            # DeiT's own __call__ ignores cls_token/pool_type and keeps T odd
+            raise SystemExit(f"{spec}: sequence parallelism needs a plain-ViT "
+                             f"--model (vit_* | deit3_*)")
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         backbone_kwargs["token_sharding"] = NamedSharding(mesh, P("data", "seq"))
@@ -258,18 +285,14 @@ def run_config(spec: str, model_name: str, batch: int, img: int, dtype, do_time:
     )
     lowered = step.lower(state, images, labels, rng)
     compiled = lowered.compile()
-    coll = collective_bytes(compiled.as_text())
-
-    mem = {}
-    try:
-        ma = compiled.memory_analysis()
-        mem = {
-            "argument_mb": round(ma.argument_size_in_bytes / 2**20, 1),
-            "output_mb": round(ma.output_size_in_bytes / 2**20, 1),
-            "temp_mb": round(ma.temp_size_in_bytes / 2**20, 1),
-        }
-    except Exception:
-        pass  # memory analysis is backend-dependent; optional
+    coll, mem = _compiled_stats(compiled)
+    if mode == "sp" and "all-gather" not in coll:
+        # the token constraint was skipped (ViT._constrain warns when T is
+        # un-shardable) — recording this row would publish a pure-DP
+        # measurement under an spN label
+        print(f"  {spec}: SKIP (no all-gather in the compiled step — the "
+              f"token sharding did not apply; check T % seq == 0)")
+        return None
 
     row = {
         "config": spec,
@@ -284,25 +307,12 @@ def run_config(spec: str, model_name: str, batch: int, img: int, dtype, do_time:
     }
 
     if do_time:
-        st = state
-        for _ in range(2):
+        def advance(st):
             st, metrics = step(st, images, labels, rng)
-        float(metrics["loss"])  # fence (tunnel: block_until_ready returns early)
-        best = float("inf")
-        for _ in range(3):
-            t0 = time.perf_counter()
-            for _ in range(steps):
-                st, metrics = step(st, images, labels, rng)
-            float(metrics["loss"])
-            best = min(best, (time.perf_counter() - t0) / steps)
-        row["ms_per_step"] = round(best * 1e3, 2)
-        row["img_per_s"] = round(batch / best, 1)
+            return st, metrics["loss"]
 
-    kinds = ", ".join(
-        f"{k}×{v['count']} {v['bytes'] / 2**20:.1f}MB" for k, v in sorted(coll.items())
-    ) or "none"
-    t = f"  {row['ms_per_step']} ms/step  {row['img_per_s']} img/s" if do_time else ""
-    print(f"  {spec}: mesh {row['mesh']}  collectives: {kinds}{t}", flush=True)
+        _attach_timing(row, advance, state, batch, steps)
+    _print_row(spec, row)
     return row
 
 
@@ -313,7 +323,8 @@ def main():
     ap.add_argument("--devices", default="8",
                     help="virtual CPU device count(s), comma-separated (max used)")
     ap.add_argument("--configs", default=None,
-                    help="comma-separated dpN|dpNtpM|fsdpN (default: sweep from --devices)")
+                    help="comma-separated dpN|dpNtpM|dpNppM|dpNspM|fsdpN "
+                         "(default: sweep from --devices; pp/sp need vit_*/deit3_*)")
     ap.add_argument("--model", default="cspdarknet53")
     ap.add_argument("--batch", type=int, default=64)
     ap.add_argument("--img", type=int, default=64)
@@ -342,8 +353,8 @@ def main():
             configs += [f"dp{top // 2}tp2", f"fsdp{top}"]
         if top >= 8:
             configs.append(f"dp{top // 4}tp4")
-        if args.model.startswith(("vit_", "deit")) and top >= 4:
-            # pipeline + sequence parallel legs (ViT families only)
+        if args.model.startswith(("vit_", "deit3_")) and top >= 4:
+            # pipeline + sequence parallel legs (plain-ViT families only)
             configs += [f"dp{top // 4}pp4", f"dp{top // 2}sp2"]
 
     print(f"scaling sweep: backend={jax.default_backend()} devices={len(jax.devices())} "

@@ -303,7 +303,6 @@ def test_dispatch_rules():
         bm._ALLOW_HIDDEN_SPLIT = True
         assert bm.use_fused_mlp(1024, 4096, 197, 0.0)  # ViT-L: 2-call chain
         assert bm.use_fused_mlp(1280, 5120, 257, 0.0)  # ViT-H: 4-call chain
-        bm._ALLOW_HIDDEN_SPLIT = False
         assert not ba.use_fused_attention(1024, 16, 197, 0.0, True)
         # dropout, non-32-multiple width, long sequences stay on XLA
         assert not bm.use_fused_mlp(768, 3072, 197, 0.1)
@@ -313,11 +312,14 @@ def test_dispatch_rules():
         assert bm.use_fused_mlp(192, 768, 28 * 28, 0.0)
         assert not ba.use_fused_attention(768, 12, 1025, 0.0, True)
         assert not ba.use_fused_attention(768, 12, 197, 0.0, False)
+        # no feasible split plan at any supported ns -> gate off
+        assert not bm.use_fused_mlp(4096, 15360, 197, 0.0)
         # vit_b at 320px (T=401): inside the seq gate but the saved-probs
         # block blows the per-program VMEM budget — must fall back to XLA
         assert not ba.use_fused_attention(768, 12, 401, 0.0, True)
     finally:
         bm._FORCE_ON = ba._FORCE_ON = False
+        bm._ALLOW_HIDDEN_SPLIT = False
 
 
 def test_production_train_step_with_fused_paths(force_on):

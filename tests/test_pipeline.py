@@ -121,8 +121,10 @@ def test_stack_unstack_roundtrip():
 # ------------------------------------------------------------------ ViT e2e
 
 
-@pytest.mark.parametrize("pool_type", ["cls_token", "gap"])
+@pytest.mark.parametrize("pool_type", ["cls_token", "gap", "mha"])
 def test_vit_pipeline_forward_matches_sequential(pool_type):
+    """Pins the pipeline's prologue/epilogue mirrors to ViT.__call__ across
+    every pooling mode (mha = the SigLIP MAP head)."""
     vit = create_backbone("vit_ti_16", img_size=32, pool_type=pool_type,
                           cls_token=pool_type == "cls_token")
     v = vit.init_variables(0, 32)
@@ -133,6 +135,16 @@ def test_vit_pipeline_forward_matches_sequential(pool_type):
         lambda v, x: vit_pipeline_forward(vit, v, x, mesh=mesh, batch_axis="data")
     )(v, x)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-4)
+
+
+def test_pipeline_rejects_deit_subclass():
+    """DeiT's dist-token __call__ is not mirrored — must fail loudly instead
+    of silently computing a different model."""
+    deit = create_backbone("deit_s_16", img_size=32)
+    v = deit.init_variables(0, 32)
+    mesh = create_mesh(("pipe",), (4,), devices=jax.devices()[:4])
+    with pytest.raises(AssertionError, match="mirrors ViT exactly"):
+        vit_pipeline_forward(deit, v, jnp.zeros((8, 32, 32, 3)), mesh=mesh)
 
 
 def test_vit_pipeline_train_step_stacked_state():

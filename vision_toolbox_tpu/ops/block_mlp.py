@@ -492,7 +492,16 @@ def fused_mlp_block(
 
     B, T, D = x.shape
     Dh = w1.shape[1]
-    ns = _hidden_splits(D, Dh) or 1
+    ns = _hidden_splits(D, Dh)
+    if ns == 0:
+        # keep the gate and the wrapper on ONE plan: shapes the planner
+        # rejected must not reach the kernel (a 10+ MB-over-budget resident
+        # block dies inside Mosaic with an opaque VMEM error)
+        raise ValueError(
+            f"fused_mlp_block: no feasible hidden-split plan for d_model={D}, "
+            f"hidden={Dh} (resident weights exceed the VMEM budget at every "
+            f"supported split); gate calls with use_fused_mlp()"
+        )
     k = _chunk_plan(T, D, heavy=has_res or has_ls or ns > 1)
     if k > 1:  # re-bin long rows (free reshape — the op is positionwise)
         x = x.reshape(B * k, T // k, D)

@@ -288,7 +288,15 @@ def vit_pipeline_forward_stacked(
     production pipeline training keeps ``(stacked, rest)`` AS the train
     state (stack once at setup, shard ``P(pipe)``, momentum mirrors it) and
     converts back to the checkpoint layout with ``unstack_block_params``."""
+    from ..models.vit import ViT
     from ..nn.attention import ViTBlock
+
+    # the prologue/epilogue mirror plain ViT only — a subclass with its own
+    # __call__ (DeiT's dist token) would silently compute a different model
+    assert type(vit) is ViT, (
+        f"pipeline forward mirrors ViT exactly; got {type(vit).__name__} "
+        f"(DeiT-with-dist-token is not supported — use deit3_*/vit_*)"
+    )
 
     prologue = _ViTPrologue(
         vit.d_model, vit.patch_size, vit.img_size, vit.cls_token, vit.dtype
