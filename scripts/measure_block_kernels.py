@@ -113,9 +113,11 @@ def main():
     p.add_argument("--models", default="vit_b_16,deit3_s_16")
     p.add_argument("--steps", type=int, default=10)
     args = p.parse_args()
-    # admit the hidden-split chain so the on-arm dispatches for ViT-L/H
-    # (no effect on single-call models; the _DISABLE toggles drive the A/B)
+    # admit the hidden-split MLP chain and the head-split attention chain so
+    # the on-arms dispatch for ViT-L/H (no effect on single-call models; the
+    # _DISABLE toggles drive the A/B)
     bm._ALLOW_HIDDEN_SPLIT = True
+    ba._ALLOW_HEAD_SPLIT = True
     for name in args.models.split(","):
         kwargs, img, bs = MODELS[name]
         print(f"{name} (bs{bs}@{img}):", flush=True)

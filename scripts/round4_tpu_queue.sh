@@ -28,9 +28,10 @@ timeout 1800 python scripts/analyze_swin_bytes.py --model convnext_t
 #     if positive, set _ENABLED=True in the module and record in BENCHMARKS.md
 timeout 3000 python scripts/measure_swin_relayout.py
 
-# 2d. ViT-L hidden-split fused-MLP chain A/B (ops/block_mlp.py) — if the
-#     mlp arm is positive, set _ALLOW_HIDDEN_SPLIT=True in the module and
-#     record in BENCHMARKS.md
+# 2d. ViT-L hidden-split fused-MLP chain + head-split attention chain A/B
+#     (ops/block_mlp.py, ops/block_attention.py) — flip _ALLOW_HIDDEN_SPLIT
+#     and/or _ALLOW_HEAD_SPLIT per the winning arms (the script's attn/mlp/
+#     both arms attribute the delta per kernel) and record in BENCHMARKS.md
 timeout 3000 python scripts/measure_block_kernels.py --models vit_l_16
 
 # 3. end-of-round refresh: per-model sweep + roofline + headline bench

@@ -474,6 +474,77 @@ def test_fused_mlp_hidden_split_with_residual(monkeypatch):
         )
 
 
+# ------------------ head-split attention chain (ViT-L/H weight overflow) ---
+
+
+def test_head_split_plan():
+    assert ba._head_splits(768, 12, 197) == 1  # ViT-B @224: single call
+    assert ba._head_splits(768, 12, 401) == 2  # ViT-B @320: T blocks overflow
+    assert ba._head_splits(1024, 16, 197) == 2  # ViT-L: 8.4 MB resident
+    assert ba._head_splits(1280, 16, 257) == 4  # ViT-H @224 (ns=2 T-overflow)
+    assert ba._head_splits(8192, 3, 197) == 0  # no feasible plan (3 % 2 != 0)
+
+
+@pytest.mark.parametrize("ls,dp", [(True, True), (False, False)])
+def test_fused_attn_head_split_matches_oracle(monkeypatch, ls, dp):
+    """Force the 2-call head-group chain at test size: output and every
+    gradient must match the oracle (heads are independent; the out-proj
+    distributes over head groups)."""
+    a = _attn_args(B=2, T=11, D=128, H=4, seed=3, ls=ls, dp=dp)
+    # 4·128² bf16 = 128 KiB resident — cap the budget to force ns=2
+    monkeypatch.setattr(ba, "_RESIDENT_BUDGET", 100 * 1024)
+    assert ba._head_splits(128, 4, 11) == 2
+
+    names = ["x", "lns", "lnb", "wq", "bq", "wk", "bk", "wv", "bv", "wo", "bo"] + (
+        ["ls"] if ls else []
+    )
+
+    got = ba.fused_attention_block(
+        a["x"], a["lns"], a["lnb"], a["wq"], a["bq"], a["wk"], a["bk"],
+        a["wv"], a["bv"], a["wo"], a["bo"], a["H"], a["ls"], a["dp"],
+    )
+    want = attn_oracle(
+        a["x"], a["lns"], a["lnb"], a["wq"], a["bq"], a["wk"], a["bk"],
+        a["wv"], a["bv"], a["wo"], a["bo"], a["H"], a["ls"], a["dp"],
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-2, atol=1e-2)
+
+    w = jnp.sin(jnp.arange(128))
+
+    def loss(fn):
+        def f(*args):
+            kw = dict(zip(names, args))
+            out = fn(
+                kw["x"], kw["lns"], kw["lnb"], kw["wq"], kw["bq"], kw["wk"], kw["bk"],
+                kw["wv"], kw["bv"], kw["wo"], kw["bo"], a["H"], kw.get("ls", None), a["dp"],
+            )
+            return jnp.sum(out * w)
+        return f
+
+    args = [a[n] for n in names]
+    ga = jax.grad(loss(ba.fused_attention_block), argnums=tuple(range(len(names))))(*args)
+    gb = jax.grad(loss(attn_oracle), argnums=tuple(range(len(names))))(*args)
+    for n, x, y in zip(names, ga, gb):
+        assert x.dtype == jnp.float32, f"grad {n} dtype {x.dtype}"
+        scale = max(1.0, float(np.max(np.abs(np.asarray(y)))))
+        np.testing.assert_allclose(
+            np.asarray(x) / scale, np.asarray(y) / scale, atol=2e-2, err_msg=f"grad {n}"
+        )
+
+
+def test_head_split_dispatch_rules():
+    ba._FORCE_ON = True
+    try:
+        # off by default pending the TPU A/B; on once the flag lands
+        assert not ba.use_fused_attention(1024, 16, 197, 0.0, True)
+        ba._ALLOW_HEAD_SPLIT = True
+        assert ba.use_fused_attention(1024, 16, 197, 0.0, True)  # ViT-L
+        assert ba.use_fused_attention(1280, 16, 257, 0.0, True)  # ViT-H @224
+    finally:
+        ba._FORCE_ON = False
+        ba._ALLOW_HEAD_SPLIT = False
+
+
 # ---------- residual operand + Swin/ConvNeXt half-block dispatch ----------
 
 

@@ -239,3 +239,18 @@ def test_pipeline_remat_matches():
     np.testing.assert_allclose(float(la), float(lb), rtol=1e-6)
     for a, b in zip(jax.tree.leaves(ga), jax.tree.leaves(gb)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)
+
+
+def test_deit3_pipeline_forward_matches_sequential():
+    """deit3_* builds a plain ViT with LayerScale — the stage_fn must carry
+    the ls/droppath block config through the pipeline."""
+    vit = create_backbone("deit3_s_16", img_size=32)
+    assert type(vit).__name__ == "ViT" and vit.layer_scale_init is not None
+    v = vit.init_variables(0, 32)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (8, 32, 32, 3))
+    want = vit.apply(v, x)
+    mesh = create_mesh(("pipe",), (4,), devices=jax.devices()[:4])
+    got = jax.jit(
+        lambda v, x: vit_pipeline_forward(vit, v, x, mesh=mesh, num_microbatches=4)
+    )(v, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-4)

@@ -75,17 +75,20 @@ def _attn_fwd_heads(q, k, v, n_heads: int, scale: float, g: int, t: int):
 
 def _fwd_kernel(
     x_ref, lns_ref, lnb_ref, wq_ref, bq_ref, wk_ref, bk_ref, wv_ref, bv_ref,
-    wo_ref, bo_ref, ls_ref, dp_ref,
-    out_ref, xhat_ref, rstd_ref, q_ref, k_ref, v_ref, o_ref, p_ref, *rest,
-    n_heads: int, eps: float, has_ls: bool,
+    wo_ref, bo_ref, ls_ref, dp_ref, *rest,
+    n_heads: int, eps: float, has_ls: bool, has_res: bool,
 ):
+    if has_res:  # separate residual stream (the head-split chain's partial)
+        res_ref, *rest = rest
+    else:
+        res_ref = None
+    out_ref, xhat_ref, rstd_ref, q_ref, k_ref, v_ref, o_ref, p_ref, *rest = rest
     if has_ls:
         (proj_ref,) = rest
-    else:
-        rest = ()
     G, T, D = x_ref.shape
+    Dq = wq_ref.shape[0]  # head-group width (== D except in the split chain)
     rows = G * T
-    scale = (D // n_heads) ** -0.5
+    scale = (Dq // n_heads) ** -0.5  # head_dim is per-group-head width
 
     x = x_ref[...].reshape(rows, D).astype(jnp.float32)
     xhat, rstd = _ln_f32(x, eps)
@@ -102,26 +105,28 @@ def _fwd_kernel(
     q = _proj(y, wq_ref, bq_ref).astype(jnp.bfloat16)
     k = _proj(y, wk_ref, bk_ref).astype(jnp.bfloat16)
     v = _proj(y, wv_ref, bv_ref).astype(jnp.bfloat16)
-    q_ref[...] = q.reshape(G, T, D)
-    k_ref[...] = k.reshape(G, T, D)
-    v_ref[...] = v.reshape(G, T, D)
+    q_ref[...] = q.reshape(G, T, Dq)
+    k_ref[...] = k.reshape(G, T, Dq)
+    v_ref[...] = v.reshape(G, T, Dq)
 
     heads, probs = _attn_fwd_heads(q, k, v, n_heads, scale, G, T)
     p_ref[...] = probs
-    o = jnp.concatenate(heads, axis=1).astype(jnp.bfloat16)
-    o_ref[...] = o.reshape(G, T, D)
+    o = jnp.concatenate(heads, axis=1) if n_heads > 1 else heads[0]
+    o = o.astype(jnp.bfloat16)
+    o_ref[...] = o.reshape(G, T, Dq)
 
     proj = _proj(o, wo_ref, bo_ref)
     if has_ls:
         proj_ref[...] = proj.astype(proj_ref.dtype).reshape(G, T, D)
     epi = _dp_rows(dp_ref, pl.program_id(0), G, T) * ls_ref[0].astype(jnp.float32)
-    out_ref[...] = (x + epi * proj).astype(out_ref.dtype).reshape(G, T, D)
+    radd = (res_ref[...].reshape(rows, D).astype(jnp.float32) if has_res else x)
+    out_ref[...] = (radd + epi * proj).astype(out_ref.dtype).reshape(G, T, D)
 
 
 def _bwd_kernel(
     xhat_ref, rstd_ref, dout_ref, q_ref, k_ref, v_ref, p_ref, wq_ref, wk_ref, wv_ref,
     wo_ref, lns_ref, ls_ref, dp_ref, *rest,
-    n_heads: int, eps: float, has_ls: bool,
+    n_heads: int, eps: float, has_ls: bool, has_res: bool,
 ):
     if has_ls:
         (proj_ref, dx_ref, dq_ref, dk_ref, dv_ref, dbq_ref, dbk_ref, dbv_ref,
@@ -131,8 +136,9 @@ def _bwd_kernel(
          dbo_ref, dlns_ref, dlnb_ref) = rest
     i = pl.program_id(0)
     G, T, D = xhat_ref.shape
+    Dq = q_ref.shape[-1]  # head-group width (== D except in the split chain)
     rows = G * T
-    scale = (D // n_heads) ** -0.5
+    scale = (Dq // n_heads) ** -0.5
 
     @pl.when(i == 0)
     def _():
@@ -160,11 +166,11 @@ def _bwd_kernel(
         doutsb, wo_ref[...], (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
     ).astype(jnp.bfloat16)
 
-    q = q_ref[...].reshape(rows, D)
-    k = k_ref[...].reshape(rows, D)
-    v = v_ref[...].reshape(rows, D)
+    q = q_ref[...].reshape(rows, Dq)
+    k = k_ref[...].reshape(rows, Dq)
+    v = v_ref[...].reshape(rows, Dq)
     dqs, dks, dvs = [], [], []
-    for hi, sl in enumerate(_head_slices(D, n_heads)):
+    for hi, sl in enumerate(_head_slices(Dq, n_heads)):
         dqb_, dkb_, dvb_ = [], [], []
         for gg in range(G):  # per-image: no cross-image attention
             rs = slice(gg * T, (gg + 1) * T)
@@ -195,18 +201,19 @@ def _bwd_kernel(
         dqs.append(cat(dqb_))
         dks.append(cat(dkb_))
         dvs.append(cat(dvb_))
-    dq = jnp.concatenate(dqs, axis=1)
-    dk = jnp.concatenate(dks, axis=1)
-    dv = jnp.concatenate(dvs, axis=1)
+    cat1 = lambda xs: jnp.concatenate(xs, axis=1) if n_heads > 1 else xs[0]
+    dq = cat1(dqs)
+    dk = cat1(dks)
+    dv = cat1(dvs)
     dbq_ref[...] += jnp.sum(dq, axis=0, keepdims=True)
     dbk_ref[...] += jnp.sum(dk, axis=0, keepdims=True)
     dbv_ref[...] += jnp.sum(dv, axis=0, keepdims=True)
     dqb = dq.astype(jnp.bfloat16)
     dkb = dk.astype(jnp.bfloat16)
     dvb = dv.astype(jnp.bfloat16)
-    dq_ref[...] = dqb.reshape(G, T, D)
-    dk_ref[...] = dkb.reshape(G, T, D)
-    dv_ref[...] = dvb.reshape(G, T, D)
+    dq_ref[...] = dqb.reshape(G, T, Dq)
+    dk_ref[...] = dkb.reshape(G, T, Dq)
+    dv_ref[...] = dvb.reshape(G, T, Dq)
 
     # dy = dq@Wqᵀ + dk@Wkᵀ + dv@Wvᵀ (w stored transposed → contract out dim)
     dy = jax.lax.dot_general(
@@ -227,60 +234,74 @@ def _bwd_kernel(
     m1 = jnp.mean(dxh, axis=-1, keepdims=True)
     m2 = jnp.mean(dxh * xhat, axis=-1, keepdims=True)
     dx_ln = rstd * (dxh - m1 - xhat * m2)
-    dx_ref[...] = (dout + dx_ln).astype(dx_ref.dtype).reshape(G, T, D)
+    if has_res:  # residual grad flows through dres (identity, XLA-side)
+        dx_ref[...] = dx_ln.astype(dx_ref.dtype).reshape(G, T, D)
+    else:
+        dx_ref[...] = (dout + dx_ln).astype(dx_ref.dtype).reshape(G, T, D)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(13, 14, 15, 16, 17))
-def _fused_attn(x, lns, lnb, wq, bq, wk, bk, wv, bv, wo, bo, ls, dp,
-                n_heads, group, has_ls, interpret, eps):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(14, 15, 16, 17, 18, 19))
+def _fused_attn(x, lns, lnb, wq, bq, wk, bk, wv, bv, wo, bo, ls, dp, res,
+                n_heads, group, has_ls, has_res, interpret, eps):
     out, _ = _fused_attn_fwd(x, lns, lnb, wq, bq, wk, bk, wv, bv, wo, bo, ls, dp,
-                             n_heads, group, has_ls, interpret, eps)
+                             res, n_heads, group, has_ls, has_res, interpret, eps)
     return out
 
 
-def _specs(B, T, D, G):
+def _specs(B, T, D, Dq, G):
     act = pl.BlockSpec((G, T, D), lambda i: (i, 0, 0))
-    w = pl.BlockSpec((D, D), lambda i: (0, 0))
+    qact = pl.BlockSpec((G, T, Dq), lambda i: (i, 0, 0))
+    win = pl.BlockSpec((Dq, D), lambda i: (0, 0))  # wq/wk/wv transposed
+    wout = pl.BlockSpec((D, Dq), lambda i: (0, 0))  # wo transposed
     vec = pl.BlockSpec((1, D), lambda i: (0, 0))
+    qvec = pl.BlockSpec((1, Dq), lambda i: (0, 0))
     dpv = _SMEM_SPEC()
-    return act, w, vec, dpv
+    return act, qact, win, wout, vec, qvec, dpv
 
 
-def _fused_attn_fwd(x, lns, lnb, wq, bq, wk, bk, wv, bv, wo, bo, ls, dp,
-                    n_heads, group, has_ls, interpret, eps):
+def _fused_attn_fwd(x, lns, lnb, wq, bq, wk, bk, wv, bv, wo, bo, ls, dp, res,
+                    n_heads, group, has_ls, has_res, interpret, eps):
     B, T, D = x.shape
+    Dq = wq.shape[1]  # head-group width (== D except in the split chain)
     G = _pick_group(B, group)
-    act, w, vec, dpv = _specs(B, T, D, G)
+    act, qact, win, wout, vec, qvec, dpv = _specs(B, T, D, Dq, G)
     H = n_heads
     pspec = pl.BlockSpec((G, H, T, T), lambda i: (i, 0, 0, 0))
     rspec = pl.BlockSpec((G, T, 1), lambda i: (i, 0, 0))
     bact = lambda: jax.ShapeDtypeStruct((B, T, D), jnp.bfloat16)
+    qbact = lambda: jax.ShapeDtypeStruct((B, T, Dq), jnp.bfloat16)
     out_shapes = [
         jax.ShapeDtypeStruct((B, T, D), x.dtype),  # out
         bact(),  # xhat (bf16, saved for the LN backward + y reconstruction)
         jax.ShapeDtypeStruct((B, T, 1), jnp.float32),  # rstd
-        bact(), bact(), bact(), bact(),  # q, k, v, o
+        qbact(), qbact(), qbact(), qbact(),  # q, k, v, o
         jax.ShapeDtypeStruct((B, H, T, T), jnp.bfloat16),  # softmax probs
     ]
-    out_specs = [act, act, rspec, act, act, act, act, pspec]
+    out_specs = [act, act, rspec, qact, qact, qact, qact, pspec]
     if has_ls:
         out_shapes.append(bact())  # pre-LS projection (for dγ_ls)
         out_specs.append(act)
+    in_specs = [act, vec, vec, win, qvec, win, qvec, win, qvec, wout, vec, vec, dpv]
+    operands = [
+        x, _row2(lns), _row2(lnb),
+        wq.T, _row2(bq), wk.T, _row2(bk), wv.T, _row2(bv), wo.T, _row2(bo),
+        _row2(ls), dp,
+    ]
+    if has_res:
+        in_specs.append(act)
+        operands.append(res)
     outs = pl.pallas_call(
-        functools.partial(_fwd_kernel, n_heads=n_heads, eps=eps, has_ls=has_ls),
+        functools.partial(_fwd_kernel, n_heads=n_heads, eps=eps, has_ls=has_ls,
+                          has_res=has_res),
         grid=(B // G,),
-        in_specs=[act, vec, vec, w, vec, w, vec, w, vec, w, vec, vec, dpv],
+        in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shapes,
         # same raised scoped budget as the backward: the saved-probs block
         # plus the resident weights graze the 16 MB default at D=768/T=197
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=20 * 1024 * 1024),
         interpret=interpret,
-    )(
-        x, _row2(lns), _row2(lnb),
-        wq.T, _row2(bq), wk.T, _row2(bk), wv.T, _row2(bv), wo.T, _row2(bo),
-        _row2(ls), dp,
-    )
+    )(*operands)
     if has_ls:
         out, xhat, rstd, q, k, v, o, p, proj = outs
     else:
@@ -288,33 +309,36 @@ def _fused_attn_fwd(x, lns, lnb, wq, bq, wk, bk, wv, bv, wo, bo, ls, dp,
     return out, (xhat, rstd, q, k, v, o, p, wq, bq, wk, bk, wv, bv, wo, bo, lns, lnb, ls, dp, proj)
 
 
-def _fused_attn_bwd(n_heads, group, has_ls, interpret, eps, res, dout):
-    xhat, rstd, q, k, v, o, p, wq, bq, wk, bk, wv, bv, wo, bo, lns, lnb, ls, dp, proj = res
+def _fused_attn_bwd(n_heads, group, has_ls, has_res, interpret, eps, saved, dout):
+    xhat, rstd, q, k, v, o, p, wq, bq, wk, bk, wv, bv, wo, bo, lns, lnb, ls, dp, proj = saved
     B, T, D = xhat.shape
+    Dq = wq.shape[1]
     G = _pick_group(B, group)
-    act, w, vec, dpv = _specs(B, T, D, G)
+    act, qact, win, wout, vec, qvec, dpv = _specs(B, T, D, Dq, G)
     pspec = pl.BlockSpec((G, n_heads, T, T), lambda i: (i, 0, 0, 0))
     rspec = pl.BlockSpec((G, T, 1), lambda i: (i, 0, 0))
     fvec = jax.ShapeDtypeStruct((1, D), jnp.float32)
-    bact = lambda: jax.ShapeDtypeStruct((B, T, D), jnp.bfloat16)
+    fqvec = jax.ShapeDtypeStruct((1, Dq), jnp.float32)
+    qbact = lambda: jax.ShapeDtypeStruct((B, T, Dq), jnp.bfloat16)
     out_shapes = [
         jax.ShapeDtypeStruct((B, T, D), dout.dtype),  # dx
-        bact(), bact(), bact(),  # dq, dk, dv
-        fvec, fvec, fvec, fvec,  # dbq, dbk, dbv, dbo
+        qbact(), qbact(), qbact(),  # dq, dk, dv
+        fqvec, fqvec, fqvec, fvec,  # dbq, dbk, dbv, dbo
         fvec, fvec,  # dγ_ln, dβ_ln
     ]
-    out_specs = [act, act, act, act, vec, vec, vec, vec, vec, vec]
+    out_specs = [act, qact, qact, qact, qvec, qvec, qvec, vec, vec, vec]
     if has_ls:
         out_shapes.append(fvec)
         out_specs.append(vec)
     # o is NOT a kernel operand — it is only needed for dWo, computed in XLA
-    in_specs = [act, rspec, act, act, act, act, pspec, w, w, w, w, vec, vec, dpv]
+    in_specs = [act, rspec, act, qact, qact, qact, pspec, win, win, win, wout, vec, vec, dpv]
     operands = [xhat, rstd, dout, q, k, v, p, wq.T, wk.T, wv.T, wo.T, _row2(lns), _row2(ls), dp]
     if has_ls:
         in_specs.append(act)
         operands.append(proj)
     outs = pl.pallas_call(
-        functools.partial(_bwd_kernel, n_heads=n_heads, eps=eps, has_ls=has_ls),
+        functools.partial(_bwd_kernel, n_heads=n_heads, eps=eps, has_ls=has_ls,
+                          has_res=has_res),
         grid=(B // G,),
         in_specs=in_specs,
         out_specs=out_specs,
@@ -337,11 +361,11 @@ def _fused_attn_bwd(n_heads, group, has_ls, interpret, eps, res, dout):
     mm = lambda a, b: jax.lax.dot_general(
         a, b, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
     )
-    dwq = mm(yf, dq.reshape(rows, D)).astype(wq.dtype)
-    dwk = mm(yf, dk.reshape(rows, D)).astype(wk.dtype)
-    dwv = mm(yf, dv.reshape(rows, D)).astype(wv.dtype)
+    dwq = mm(yf, dq.reshape(rows, Dq)).astype(wq.dtype)
+    dwk = mm(yf, dk.reshape(rows, Dq)).astype(wk.dtype)
+    dwv = mm(yf, dv.reshape(rows, Dq)).astype(wv.dtype)
     douts = (dout * (dp[:, None, :] * ls).astype(dout.dtype)).reshape(rows, D)
-    dwo = mm(o.reshape(rows, D), douts).astype(wo.dtype)
+    dwo = mm(o.reshape(rows, Dq), douts).astype(wo.dtype)
 
     to = lambda a, ref: a.astype(ref.dtype)
     return (
@@ -356,6 +380,9 @@ def _fused_attn_bwd(n_heads, group, has_ls, interpret, eps, res, dout):
         dwo, to(dbo[0], bo),
         to(dls[0], ls) if has_ls else jnp.zeros_like(ls),
         jnp.zeros_like(dp),
+        # separate residual: identity path, cotangent = dout. has_res=False
+        # callers alias res=x, so a structural zero keeps d(x) = dx exactly.
+        dout if has_res else jnp.zeros_like(dout),
     )
 
 
@@ -380,7 +407,12 @@ def fused_attention_block(
 ) -> jax.Array:
     """``x + dp·γ_ls·(MHA(LN(x)) @ Wo + bo)`` as one fused Pallas program.
 
-    x: (B, T, D); all w: (D, D) in the Linear (in, out) layout."""
+    x: (B, T, D); all w: (D, D) in the Linear (in, out) layout. When the
+    resident weights exceed the VMEM budget (ViT-L/H), the call chains the
+    SAME kernel over head groups — heads are independent and the output
+    projection distributes over them (``out = x + Σ_g epi·(o_g @ Wo_g)``),
+    with the running partial carried as a separate-residual operand exactly
+    like the hidden-split MLP chain (ops/block_mlp.py)."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     if _FORCED_GROUP is not None:
@@ -392,33 +424,92 @@ def fused_attention_block(
     # bf16); casting here keeps f32-param callers working — autodiff of the
     # cast upcasts the weight cotangents back
     b16 = lambda a: a.astype(jnp.bfloat16)
-    return _fused_attn(
-        x, ln_scale, ln_bias, b16(wq), bq, b16(wk), bk, b16(wv), bv,
-        b16(wo), bo, ls, dp, n_heads, group, has_ls, interpret, float(eps),
-    )
+    D = x.shape[-1]
+    ns = _head_splits(D, n_heads, x.shape[1])
+    if ns == 0:
+        raise ValueError(
+            f"fused_attention_block: no feasible head-split plan for "
+            f"d_model={D}, n_heads={n_heads}, t={x.shape[1]}; gate calls "
+            f"with use_fused_attention()"
+        )
+    if ns == 1:
+        return _fused_attn(
+            x, ln_scale, ln_bias, b16(wq), bq, b16(wk), bk, b16(wv), bv,
+            b16(wo), bo, ls, dp, x, n_heads, group, has_ls, False,
+            interpret, float(eps),
+        )
+    c = D // ns
+    cur = x
+    for s in range(ns):
+        sl = slice(s * c, (s + 1) * c)
+        cur = _fused_attn(
+            x, ln_scale, ln_bias,
+            b16(wq[:, sl]), bq[sl], b16(wk[:, sl]), bk[sl], b16(wv[:, sl]), bv[sl],
+            b16(wo[sl]), bo if s == 0 else jnp.zeros_like(bo), ls, dp, cur,
+            n_heads // ns, group, has_ls, True, interpret, float(eps),
+        )
+    return cur
 
 
 _FORCE_ON = False  # tests set this to exercise the module dispatch on CPU
 _DISABLE = False  # measurement scripts set this for in-model A/B brackets
 _FORCED_GROUP: int | None = None  # measurement override for the group sweep
+_ALLOW_HEAD_SPLIT = False  # flip after scripts/measure_block_kernels.py
+# --models vit_l_16 measures the 2-call head-group chain positive in-model
+# (built round 4 while the tunnel was down, mirroring the MLP hidden-split)
 
 
-def _program_vmem_bytes(d_model: int, n_heads: int, t: int, g: int = 1) -> int:
-    """Per-program VMEM estimate: resident weights + the T-dependent blocks
-    a grid step streams (x/out/xhat + q/k/v/o + the saved (G,H,T,T) bf16
-    probs + rstd). The backward adds dout/dq/dk/dv in place of some outputs
-    — same order of magnitude, so one bound serves both."""
-    weights = 4 * d_model * d_model * 2  # bf16
-    acts = 9 * g * t * d_model * 2  # bf16 streams (x, out, xhat, q, k, v, o, proj, dout)
-    probs = g * n_heads * t * t * 2
+_RESIDENT_BUDGET = 8 * 1024 * 1024  # bf16 wq/wk/wv/wo (slices) held in VMEM
+_PROGRAM_BUDGET = 12 * 1024 * 1024  # whole per-program estimate (see below)
+
+
+def _head_splits(d_model: int, n_heads: int, t: int) -> int:
+    """Number of sequential head-group slices so each call's resident
+    weights (wq/wk/wv column slices + the wo row slice, bf16) AND its full
+    per-program block estimate fit VMEM. ViT-Ti/S/B need 1; ViT-L @224
+    needs 2; ViT-H @224 needs 4 (ns=2 fits the weights but the T=257
+    blocks overflow). 0 = no feasible plan. Shared by the dispatch gate and
+    the wrapper (one plan)."""
+    for ns in (1, 2, 4):
+        if n_heads % ns or d_model % ns:
+            continue
+        if (
+            4 * d_model * (d_model // ns) * 2 < _RESIDENT_BUDGET
+            and _program_vmem_bytes(d_model, n_heads, t, ns=ns) <= _PROGRAM_BUDGET
+        ):
+            return ns
+    return 0
+
+
+def _program_vmem_bytes(d_model: int, n_heads: int, t: int, g: int = 1, ns: int = 1) -> int:
+    """Per-program VMEM estimate for one (possibly head-split) call:
+    resident weight slices + the T-dependent blocks a grid step streams
+    (x/out/xhat/proj/dout/res at D, q/k/v/o at D/ns, the saved
+    (G, H/ns, T, T) bf16 probs, rstd). The backward swaps dq/dk/dv for some
+    forward outputs — same order of magnitude, so one bound serves both."""
+    dq = d_model // ns
+    weights = 4 * d_model * dq * 2  # bf16
+    acts = (6 * d_model + 4 * dq) * g * t * 2  # bf16 streams
+    probs = g * (n_heads // ns) * t * t * 2
     rstd = g * t * 4
     return weights + acts + probs + rstd
 
 
 def use_fused_attention(d_model: int, n_heads: int, t: int, dropout: float, bias: bool) -> bool:
-    """Resident 4·D² bf16 weights + whole (T, S) score matrices in VMEM —
-    the short-attention regime (T ≤ 512) with the projections folded in."""
+    """Resident weight slices + whole (T, S) score matrices in VMEM — the
+    short-attention regime (T ≤ 512) with the projections folded in. ViT-L/H
+    route through the head-split chain once _ALLOW_HEAD_SPLIT lands its A/B."""
     if _DISABLE:
+        return False
+    # shared plan with the wrapper; the plan budgets BOTH the resident
+    # weight slices and the T-DEPENDENT blocks (saved probs etc.) — shapes
+    # that pass the weight gate but overflow per-program VMEM must fall back
+    # to XLA instead of failing Mosaic compilation (the bug class a86df16
+    # fixed for the CaiT kernel). 12 MiB leaves pipeline-buffer headroom
+    # under the 20 MiB limit; vit_b @224 (T=197: 8.7 MiB, ns=1) fits,
+    # vit_b @320 (T=401) needs the ns=2 chain, ViT-L @224 ns=2, ViT-H ns=4.
+    ns = _head_splits(d_model, n_heads, t)
+    if ns == 0 or (ns > 1 and not _ALLOW_HEAD_SPLIT):
         return False
     ok = (
         dropout == 0.0
@@ -426,16 +517,5 @@ def use_fused_attention(d_model: int, n_heads: int, t: int, dropout: float, bias
         and d_model % 128 == 0
         and d_model % n_heads == 0
         and 2 <= t <= MAX_SEQ
-        # strict: ViT-L's 4·1024² bf16 weights are exactly 8 MB — together
-        # with the per-program activations that over-fills v5e VMEM
-        and 4 * d_model * d_model * 2 < 8 * 1024 * 1024
-        # AND budget the T-DEPENDENT blocks, not just the weights: vit_b at
-        # 320px+ (T=401: ~14.1 MB/program incl. the saved probs) passes the
-        # shape gates but must fall back to XLA instead of failing Mosaic
-        # compilation (the bug class a86df16 fixed for the CaiT kernel).
-        # 12 MiB leaves pipeline-buffer headroom under the 20 MiB limit;
-        # vit_b/deit_b @224 (T=197: 8.0 MiB) fit, vit_b @320 (T=401:
-        # 13.5 MiB) falls back.
-        and _program_vmem_bytes(d_model, n_heads, t) <= 12 * 1024 * 1024
     )
     return ok and (_FORCE_ON or jax.default_backend() == "tpu")
