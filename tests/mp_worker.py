@@ -184,6 +184,31 @@ def main() -> None:
         n_batches += 1
     record.update(wds_hist=hist.tolist(), wds_batches=n_batches)
 
+    # --- pipeline parallelism across the process boundary: ViT blocks
+    # sharded layer-wise over a GLOBAL 4-device "pipe" axis (2 stages per
+    # host); the GPipe microbatch relays cross hosts via gloo
+    # collective-permute (parallel/pipeline.py). The replicated result must
+    # match each host's LOCAL sequential forward.
+    try:
+        from vision_toolbox_tpu.parallel.pipeline import vit_pipeline_forward
+
+        vit = create_backbone("vit_ti_16", img_size=16)
+        host_v = jax.tree.map(np.asarray, vit.init_variables(0, 16))
+        xb = data_rng.random((8, 16, 16, 3), np.float32)
+        pmesh = create_mesh(("pipe",))
+
+        @functools.partial(jax.jit, out_shardings=replicated(pmesh))
+        def _rep(t):
+            return t
+
+        got = jax.jit(
+            lambda v, x: vit_pipeline_forward(vit, v, x, mesh=pmesh, num_microbatches=4)
+        )(_rep(host_v), _rep(jnp.asarray(xb)))
+        want = vit.apply(host_v, xb)  # local, sequential
+        record["pp_max_diff"] = float(np.max(np.abs(np.asarray(got) - np.asarray(want))))
+    except Exception as e:  # surfaced (skip-or-fail) by the driver test
+        record["pp_error"] = repr(e)
+
     with open(out_path, "w") as f:
         json.dump(record, f)
     jax.distributed.shutdown()

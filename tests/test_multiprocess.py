@@ -106,6 +106,20 @@ def test_wds_global_exactly_once(worker_records):
         assert rec["wds_batches"] == 2  # 16 samples / global batch 8
 
 
+def test_pipeline_across_processes(worker_records):
+    """ViT blocks sharded layer-wise over a 4-device pipe axis spanning BOTH
+    processes: the GPipe microbatch relays cross the host boundary via gloo
+    collective-permute and the replicated result must equal each host's
+    local sequential forward (parallel/pipeline.py)."""
+    for rec in worker_records:
+        err = rec.get("pp_error")
+        if err and any(s in err.lower() for s in ("unimplemented", "unsupported",
+                                                  "not supported", "collective")):
+            pytest.skip(f"cross-process collective-permute unavailable: {err}")
+        assert not err, err
+        assert rec["pp_max_diff"] < 1e-4, rec["pp_max_diff"]
+
+
 def test_losses_match_single_process_oracle(worker_records):
     """3 train steps + eval assembled from process-local data must equal the
     same computation run in ONE process on 4 local devices."""
