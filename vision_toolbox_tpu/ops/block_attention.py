@@ -76,15 +76,18 @@ def _attn_fwd_heads(q, k, v, n_heads: int, scale: float, g: int, t: int):
 def _fwd_kernel(
     x_ref, lns_ref, lnb_ref, wq_ref, bq_ref, wk_ref, bk_ref, wv_ref, bv_ref,
     wo_ref, bo_ref, ls_ref, dp_ref, *rest,
-    n_heads: int, eps: float, has_ls: bool, has_res: bool,
+    n_heads: int, eps: float, has_ls: bool, has_res: bool, save: bool,
 ):
     if has_res:  # separate residual stream (the head-split chain's partial)
         res_ref, *rest = rest
     else:
         res_ref = None
-    out_ref, xhat_ref, rstd_ref, q_ref, k_ref, v_ref, o_ref, p_ref, *rest = rest
-    if has_ls:
-        (proj_ref,) = rest
+    if save:
+        out_ref, xhat_ref, rstd_ref, q_ref, k_ref, v_ref, o_ref, p_ref, *rest = rest
+        if has_ls:
+            (proj_ref,) = rest
+    else:  # inference: out is the ONLY HBM output (no backward-save streams)
+        (out_ref,) = rest
     G, T, D = x_ref.shape
     Dq = wq_ref.shape[0]  # head-group width (== D except in the split chain)
     rows = G * T
@@ -92,10 +95,11 @@ def _fwd_kernel(
 
     x = x_ref[...].reshape(rows, D).astype(jnp.float32)
     xhat, rstd = _ln_f32(x, eps)
-    # saving xhat (bf16) + rstd lets the backward skip BOTH the x stream and
-    # the LN-stat recompute; XLA reconstructs y = xhat·γ+β for dWq/k/v
-    xhat_ref[...] = xhat.astype(jnp.bfloat16).reshape(G, T, D)
-    rstd_ref[...] = rstd.reshape(G, T, 1)
+    if save:
+        # saving xhat (bf16) + rstd lets the backward skip BOTH the x stream
+        # and the LN-stat recompute; XLA reconstructs y = xhat·γ+β for dWq/k/v
+        xhat_ref[...] = xhat.astype(jnp.bfloat16).reshape(G, T, D)
+        rstd_ref[...] = rstd.reshape(G, T, 1)
     y = (xhat * lns_ref[0].astype(jnp.float32) + lnb_ref[0].astype(jnp.float32)).astype(
         jnp.bfloat16
     )
@@ -105,18 +109,20 @@ def _fwd_kernel(
     q = _proj(y, wq_ref, bq_ref).astype(jnp.bfloat16)
     k = _proj(y, wk_ref, bk_ref).astype(jnp.bfloat16)
     v = _proj(y, wv_ref, bv_ref).astype(jnp.bfloat16)
-    q_ref[...] = q.reshape(G, T, Dq)
-    k_ref[...] = k.reshape(G, T, Dq)
-    v_ref[...] = v.reshape(G, T, Dq)
+    if save:
+        q_ref[...] = q.reshape(G, T, Dq)
+        k_ref[...] = k.reshape(G, T, Dq)
+        v_ref[...] = v.reshape(G, T, Dq)
 
     heads, probs = _attn_fwd_heads(q, k, v, n_heads, scale, G, T)
-    p_ref[...] = probs
     o = jnp.concatenate(heads, axis=1) if n_heads > 1 else heads[0]
     o = o.astype(jnp.bfloat16)
-    o_ref[...] = o.reshape(G, T, Dq)
+    if save:
+        p_ref[...] = probs
+        o_ref[...] = o.reshape(G, T, Dq)
 
     proj = _proj(o, wo_ref, bo_ref)
-    if has_ls:
+    if save and has_ls:
         proj_ref[...] = proj.astype(proj_ref.dtype).reshape(G, T, D)
     epi = _dp_rows(dp_ref, pl.program_id(0), G, T) * ls_ref[0].astype(jnp.float32)
     radd = (res_ref[...].reshape(rows, D).astype(jnp.float32) if has_res else x)
@@ -243,9 +249,14 @@ def _bwd_kernel(
 @functools.partial(jax.custom_vjp, nondiff_argnums=(14, 15, 16, 17, 18, 19))
 def _fused_attn(x, lns, lnb, wq, bq, wk, bk, wv, bv, wo, bo, ls, dp, res,
                 n_heads, group, has_ls, has_res, interpret, eps):
-    out, _ = _fused_attn_fwd(x, lns, lnb, wq, bq, wk, bk, wv, bv, wo, bo, ls, dp,
-                             res, n_heads, group, has_ls, has_res, interpret, eps)
-    return out
+    # primal body = INFERENCE: custom_vjp only routes through _fused_attn_fwd
+    # under differentiation, so the un-differentiated path runs the save-free
+    # kernel — none of the backward-save streams (xhat/rstd/q/k/v/o/probs ≈
+    # 6 activation streams + the (B,H,T,T) probs) touch HBM at serving time.
+    # XLA cannot DCE unused outputs of an opaque kernel.
+    return _run_attn(x, lns, lnb, wq, bq, wk, bk, wv, bv, wo, bo, ls, dp,
+                     res, n_heads, group, has_ls, has_res, interpret, eps,
+                     save=False)[0]
 
 
 def _specs(B, T, D, Dq, G):
@@ -261,6 +272,17 @@ def _specs(B, T, D, Dq, G):
 
 def _fused_attn_fwd(x, lns, lnb, wq, bq, wk, bk, wv, bv, wo, bo, ls, dp, res,
                     n_heads, group, has_ls, has_res, interpret, eps):
+    outs = _run_attn(x, lns, lnb, wq, bq, wk, bk, wv, bv, wo, bo, ls, dp, res,
+                     n_heads, group, has_ls, has_res, interpret, eps, save=True)
+    if has_ls:
+        out, xhat, rstd, q, k, v, o, p, proj = outs
+    else:
+        (out, xhat, rstd, q, k, v, o, p), proj = outs, None
+    return out, (xhat, rstd, q, k, v, o, p, wq, bq, wk, bk, wv, bv, wo, bo, lns, lnb, ls, dp, proj)
+
+
+def _run_attn(x, lns, lnb, wq, bq, wk, bk, wv, bv, wo, bo, ls, dp, res,
+              n_heads, group, has_ls, has_res, interpret, eps, save):
     B, T, D = x.shape
     Dq = wq.shape[1]  # head-group width (== D except in the split chain)
     G = _pick_group(B, group)
@@ -270,17 +292,19 @@ def _fused_attn_fwd(x, lns, lnb, wq, bq, wk, bk, wv, bv, wo, bo, ls, dp, res,
     rspec = pl.BlockSpec((G, T, 1), lambda i: (i, 0, 0))
     bact = lambda: jax.ShapeDtypeStruct((B, T, D), jnp.bfloat16)
     qbact = lambda: jax.ShapeDtypeStruct((B, T, Dq), jnp.bfloat16)
-    out_shapes = [
-        jax.ShapeDtypeStruct((B, T, D), x.dtype),  # out
-        bact(),  # xhat (bf16, saved for the LN backward + y reconstruction)
-        jax.ShapeDtypeStruct((B, T, 1), jnp.float32),  # rstd
-        qbact(), qbact(), qbact(), qbact(),  # q, k, v, o
-        jax.ShapeDtypeStruct((B, H, T, T), jnp.bfloat16),  # softmax probs
-    ]
-    out_specs = [act, act, rspec, qact, qact, qact, qact, pspec]
-    if has_ls:
-        out_shapes.append(bact())  # pre-LS projection (for dγ_ls)
-        out_specs.append(act)
+    out_shapes = [jax.ShapeDtypeStruct((B, T, D), x.dtype)]  # out
+    out_specs = [act]
+    if save:
+        out_shapes += [
+            bact(),  # xhat (bf16, saved for the LN backward + y reconstruction)
+            jax.ShapeDtypeStruct((B, T, 1), jnp.float32),  # rstd
+            qbact(), qbact(), qbact(), qbact(),  # q, k, v, o
+            jax.ShapeDtypeStruct((B, H, T, T), jnp.bfloat16),  # softmax probs
+        ]
+        out_specs += [act, rspec, qact, qact, qact, qact, pspec]
+        if has_ls:
+            out_shapes.append(bact())  # pre-LS projection (for dγ_ls)
+            out_specs.append(act)
     in_specs = [act, vec, vec, win, qvec, win, qvec, win, qvec, wout, vec, vec, dpv]
     operands = [
         x, _row2(lns), _row2(lnb),
@@ -290,9 +314,9 @@ def _fused_attn_fwd(x, lns, lnb, wq, bq, wk, bk, wv, bv, wo, bo, ls, dp, res,
     if has_res:
         in_specs.append(act)
         operands.append(res)
-    outs = pl.pallas_call(
+    return pl.pallas_call(
         functools.partial(_fwd_kernel, n_heads=n_heads, eps=eps, has_ls=has_ls,
-                          has_res=has_res),
+                          has_res=has_res, save=save),
         grid=(B // G,),
         in_specs=in_specs,
         out_specs=out_specs,
@@ -302,11 +326,6 @@ def _fused_attn_fwd(x, lns, lnb, wq, bq, wk, bk, wv, bv, wo, bo, ls, dp, res,
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=20 * 1024 * 1024),
         interpret=interpret,
     )(*operands)
-    if has_ls:
-        out, xhat, rstd, q, k, v, o, p, proj = outs
-    else:
-        (out, xhat, rstd, q, k, v, o, p), proj = outs, None
-    return out, (xhat, rstd, q, k, v, o, p, wq, bq, wk, bk, wv, bv, wo, bo, lns, lnb, ls, dp, proj)
 
 
 def _fused_attn_bwd(n_heads, group, has_ls, has_res, interpret, eps, saved, dout):

@@ -158,17 +158,20 @@ def _ln_f32(x, eps: float):
 def _fwd_kernel(
     x_ref, lns_ref, lnb_ref, w1t_ref, b1_ref, w2_ref, b2_ref, ls_ref, dp_ref,
     *rest,
-    nj: int, ht: int, eps: float, has_ls: bool, has_res: bool,
+    nj: int, ht: int, eps: float, has_ls: bool, has_res: bool, save: bool,
 ):
     if has_res:  # separate residual stream (ConvNeXt: res=x, LN input=dwconv(x))
         res_ref, *rest = rest
     else:
         res_ref = None
-    out_ref, xhat_ref, rstd_ref, h_ref, *rest = rest
-    if has_ls:
-        g_ref, mlpout_ref, y2_scr, acc_scr = rest
-    else:
-        g_ref, y2_scr, acc_scr = rest
+    if save:
+        out_ref, xhat_ref, rstd_ref, h_ref, *rest = rest
+        if has_ls:
+            g_ref, mlpout_ref, y2_scr, acc_scr = rest
+        else:
+            g_ref, y2_scr, acc_scr = rest
+    else:  # inference: out is the ONLY HBM output (no backward-save streams)
+        out_ref, y2_scr, acc_scr = rest
     i = pl.program_id(0)  # hoisted: program_id inside a pl.when body
     j = pl.program_id(1)  # does not lower in interpret mode
     G, T, D = x_ref.shape
@@ -178,10 +181,11 @@ def _fwd_kernel(
     def _():
         x = x_ref[...].reshape(rows, D).astype(jnp.float32)
         xhat, rstd = _ln_f32(x, eps)
-        # xhat (bf16) + rstd saved: the backward skips the x stream and the
-        # LN-stat recompute; XLA reconstructs y2 = xhat·γ+β for dW1
-        xhat_ref[...] = xhat.astype(jnp.bfloat16).reshape(G, T, D)
-        rstd_ref[...] = rstd.reshape(G, T, 1)
+        if save:
+            # xhat (bf16) + rstd saved: the backward skips the x stream and
+            # the LN-stat recompute; XLA reconstructs y2 = xhat·γ+β for dW1
+            xhat_ref[...] = xhat.astype(jnp.bfloat16).reshape(G, T, D)
+            rstd_ref[...] = rstd.reshape(G, T, 1)
         y2 = xhat * lns_ref[0].astype(jnp.float32) + lnb_ref[0].astype(jnp.float32)
         y2_scr[...] = y2.astype(jnp.bfloat16)
         acc_scr[...] = jnp.zeros_like(acc_scr)
@@ -193,18 +197,19 @@ def _fwd_kernel(
         y2_scr[...], w1j, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     ) + b1j.astype(jnp.float32)
     hb = hf.astype(jnp.bfloat16)
-    h_ref[...] = hb.reshape(G, T, ht)
     g = _gelu_f32(hb.astype(jnp.float32)).astype(jnp.bfloat16)
-    # saving g costs one bf16 HBM stream but spares the backward an XLA-side
-    # gelu recompute for dW2 (erf+exp over B·T·Dh on the VPU)
-    g_ref[...] = g.reshape(G, T, ht)
+    if save:
+        h_ref[...] = hb.reshape(G, T, ht)
+        # saving g costs one bf16 HBM stream but spares the backward an
+        # XLA-side gelu recompute for dW2 (erf+exp over B·T·Dh on the VPU)
+        g_ref[...] = g.reshape(G, T, ht)
     w2j = w2_ref[pl.ds(j * ht, ht), :]  # (ht, D)
     acc_scr[...] += jnp.dot(g, w2j, preferred_element_type=jnp.float32)
 
     @pl.when(j == nj - 1)
     def _():
         mlp = acc_scr[...] + b2_ref[0].astype(jnp.float32)
-        if has_ls:
+        if save and has_ls:
             mlpout_ref[...] = mlp.astype(mlpout_ref.dtype).reshape(G, T, D)
         scale = _dp_rows(dp_ref, i, G, T) * ls_ref[0].astype(jnp.float32)
         radd = (res_ref if has_res else x_ref)[...].reshape(rows, D).astype(jnp.float32)
@@ -284,10 +289,15 @@ def _bwd_kernel(
 @functools.partial(jax.custom_vjp, nondiff_argnums=(10, 11, 12, 13, 14))
 def _fused_mlp(x, lns, lnb, w1, b1, w2, b2, ls, dp, res, group, has_ls, has_res,
                interpret, eps):
-    out, _ = _fused_mlp_fwd(
-        x, lns, lnb, w1, b1, w2, b2, ls, dp, res, group, has_ls, has_res, interpret, eps
-    )
-    return out
+    # primal body = INFERENCE: custom_vjp only routes through _fused_mlp_fwd
+    # under differentiation, so the un-differentiated path runs the save-free
+    # kernel — none of the backward-save streams (xhat/rstd/h/gelu ≈ half the
+    # kernel's HBM writes) touch HBM at serving time. XLA cannot DCE unused
+    # outputs of an opaque kernel, so this must be a separate program.
+    return _run_mlp(
+        x, lns, lnb, w1, b1, w2, b2, ls, dp, res, group, has_ls, has_res,
+        interpret, eps, save=False,
+    )[0]
 
 
 def _common(x, w1, group):
@@ -305,25 +315,37 @@ def _row2(a):
 
 def _fused_mlp_fwd(x, lns, lnb, w1, b1, w2, b2, ls, dp, res, group, has_ls, has_res,
                    interpret, eps):
+    outs = _run_mlp(x, lns, lnb, w1, b1, w2, b2, ls, dp, res, group, has_ls,
+                    has_res, interpret, eps, save=True)
+    if has_ls:
+        out, xhat, rstd, h, g, mlpout = outs
+    else:
+        (out, xhat, rstd, h, g), mlpout = outs, None
+    return out, (xhat, rstd, h, g, w1, b1, w2, b2, lns, lnb, ls, dp, mlpout)
+
+
+def _run_mlp(x, lns, lnb, w1, b1, w2, b2, ls, dp, res, group, has_ls, has_res,
+             interpret, eps, save):
     B, T, D, Dh, ht, nj, G = _common(x, w1, group)
     w1t = w1.T  # (Dh, D); one-time relayout, negligible vs activation traffic
-    out_shapes = [
-        jax.ShapeDtypeStruct((B, T, D), x.dtype),  # out
-        jax.ShapeDtypeStruct((B, T, D), jnp.bfloat16),  # xhat (for LN bwd + y2)
-        jax.ShapeDtypeStruct((B, T, 1), jnp.float32),  # rstd
-        jax.ShapeDtypeStruct((B, T, Dh), jnp.bfloat16),  # h (saved for bwd)
-        jax.ShapeDtypeStruct((B, T, Dh), jnp.bfloat16),  # gelu(h) (for dW2)
-    ]
-    out_specs = [
-        pl.BlockSpec((G, T, D), lambda i, j: (i, 0, 0)),
-        pl.BlockSpec((G, T, D), lambda i, j: (i, 0, 0)),
-        pl.BlockSpec((G, T, 1), lambda i, j: (i, 0, 0)),
-        pl.BlockSpec((G, T, ht), lambda i, j: (i, 0, j)),
-        pl.BlockSpec((G, T, ht), lambda i, j: (i, 0, j)),
-    ]
-    if has_ls:
-        out_shapes.append(jax.ShapeDtypeStruct((B, T, D), jnp.bfloat16))  # mlpout
-        out_specs.append(pl.BlockSpec((G, T, D), lambda i, j: (i, 0, 0)))
+    out_shapes = [jax.ShapeDtypeStruct((B, T, D), x.dtype)]  # out
+    out_specs = [pl.BlockSpec((G, T, D), lambda i, j: (i, 0, 0))]
+    if save:
+        out_shapes += [
+            jax.ShapeDtypeStruct((B, T, D), jnp.bfloat16),  # xhat (LN bwd + y2)
+            jax.ShapeDtypeStruct((B, T, 1), jnp.float32),  # rstd
+            jax.ShapeDtypeStruct((B, T, Dh), jnp.bfloat16),  # h (saved for bwd)
+            jax.ShapeDtypeStruct((B, T, Dh), jnp.bfloat16),  # gelu(h) (for dW2)
+        ]
+        out_specs += [
+            pl.BlockSpec((G, T, D), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((G, T, 1), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((G, T, ht), lambda i, j: (i, 0, j)),
+            pl.BlockSpec((G, T, ht), lambda i, j: (i, 0, j)),
+        ]
+        if has_ls:
+            out_shapes.append(jax.ShapeDtypeStruct((B, T, D), jnp.bfloat16))  # mlpout
+            out_specs.append(pl.BlockSpec((G, T, D), lambda i, j: (i, 0, 0)))
     in_specs = [
         pl.BlockSpec((G, T, D), lambda i, j: (i, 0, 0)),  # x
         pl.BlockSpec((1, D), lambda i, j: (0, 0)),  # ln scale
@@ -340,9 +362,9 @@ def _fused_mlp_fwd(x, lns, lnb, w1, b1, w2, b2, ls, dp, res, group, has_ls, has_
     if has_res:
         in_specs.append(pl.BlockSpec((G, T, D), lambda i, j: (i, 0, 0)))  # residual
         operands.append(res)
-    outs = pl.pallas_call(
+    return pl.pallas_call(
         functools.partial(_fwd_kernel, nj=nj, ht=ht, eps=eps, has_ls=has_ls,
-                          has_res=has_res),
+                          has_res=has_res, save=save),
         grid=(B // G, nj),
         in_specs=in_specs,
         out_specs=out_specs,
@@ -354,11 +376,6 @@ def _fused_mlp_fwd(x, lns, lnb, w1, b1, w2, b2, ls, dp, res, group, has_ls, has_
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=24 * 1024 * 1024),
         interpret=interpret,
     )(*operands)
-    if has_ls:
-        out, xhat, rstd, h, g, mlpout = outs
-    else:
-        (out, xhat, rstd, h, g), mlpout = outs, None
-    return out, (xhat, rstd, h, g, w1, b1, w2, b2, lns, lnb, ls, dp, mlpout)
 
 
 def _fused_mlp_bwd(group, has_ls, has_res, interpret, eps, saved, dout):
