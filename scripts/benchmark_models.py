@@ -32,6 +32,7 @@ MODELS = [
     ("convnext_t", {}, 224, 128, 256),
     ("swin_t", {"img_size": 224}, 224, 128, 256),
     ("vit_b_16", {"img_size": 224}, 224, 128, 256),
+    ("vit_l_16", {"img_size": 224}, 224, 64, 128),
     ("deit3_s_16", {"img_size": 224}, 224, 128, 256),
     ("cait_xxs_24", {"img_size": 224}, 224, 128, 256),
     ("efficientnet_b0", {}, 224, 256, 256),

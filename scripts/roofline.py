@@ -46,6 +46,7 @@ MODELS = [
     ("convnext_t", {}, 224, 128),
     ("swin_t", {"img_size": 224}, 224, 128),
     ("vit_b_16", {"img_size": 224}, 224, 128),
+    ("vit_l_16", {"img_size": 224}, 224, 64),
     ("deit3_s_16", {"img_size": 224}, 224, 128),
     ("efficientnet_b0", {}, 224, 256),
 ]
