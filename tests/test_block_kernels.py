@@ -481,7 +481,9 @@ def test_head_split_plan():
     assert ba._head_splits(768, 12, 197) == 1  # ViT-B @224: single call
     assert ba._head_splits(768, 12, 401) == 2  # ViT-B @320: T blocks overflow
     assert ba._head_splits(1024, 16, 197) == 2  # ViT-L: 8.4 MB resident
-    assert ba._head_splits(1280, 16, 257) == 4  # ViT-H @224 (ns=2 T-overflow)
+    # ViT-H: ns=2 overflows the T=257 program budget and ns=4's 320-lane
+    # blocks break the 128 alignment the kernel is proven at -> XLA fallback
+    assert ba._head_splits(1280, 16, 257) == 0
     assert ba._head_splits(8192, 3, 197) == 0  # no feasible plan (3 % 2 != 0)
 
 
@@ -493,6 +495,7 @@ def test_fused_attn_head_split_matches_oracle(monkeypatch, ls, dp):
     a = _attn_args(B=2, T=11, D=128, H=4, seed=3, ls=ls, dp=dp)
     # 4·128² bf16 = 128 KiB resident — cap the budget to force ns=2
     monkeypatch.setattr(ba, "_RESIDENT_BUDGET", 100 * 1024)
+    monkeypatch.setattr(ba, "_LANE_ALIGN", 64)  # Dq=64 at test size
     assert ba._head_splits(128, 4, 11) == 2
 
     names = ["x", "lns", "lnb", "wq", "bq", "wk", "bk", "wv", "bv", "wo", "bo"] + (
@@ -539,7 +542,8 @@ def test_head_split_dispatch_rules():
         assert not ba.use_fused_attention(1024, 16, 197, 0.0, True)
         ba._ALLOW_HEAD_SPLIT = True
         assert ba.use_fused_attention(1024, 16, 197, 0.0, True)  # ViT-L
-        assert ba.use_fused_attention(1280, 16, 257, 0.0, True)  # ViT-H @224
+        # ViT-H has no Mosaic-proven plan (alignment/budget) -> XLA fallback
+        assert not ba.use_fused_attention(1280, 16, 257, 0.0, True)
     finally:
         ba._FORCE_ON = False
         ba._ALLOW_HEAD_SPLIT = False

@@ -113,8 +113,10 @@ def test_pipeline_across_processes(worker_records):
     local sequential forward (parallel/pipeline.py)."""
     for rec in worker_records:
         err = rec.get("pp_error")
-        if err and any(s in err.lower() for s in ("unimplemented", "unsupported",
-                                                  "not supported", "collective")):
+        if err and any(s in err.lower() for s in ("unimplemented", "not implemented",
+                                                  "unsupported", "not supported")):
+            # capability-missing only — runtime failures of the permute path
+            # itself ('collective ... mismatch', transport resets) must FAIL
             pytest.skip(f"cross-process collective-permute unavailable: {err}")
         assert not err, err
         assert rec["pp_max_diff"] < 1e-4, rec["pp_max_diff"]

@@ -480,17 +480,25 @@ _ALLOW_HEAD_SPLIT = False  # flip after scripts/measure_block_kernels.py
 
 _RESIDENT_BUDGET = 8 * 1024 * 1024  # bf16 wq/wk/wv/wo (slices) held in VMEM
 _PROGRAM_BUDGET = 12 * 1024 * 1024  # whole per-program estimate (see below)
+_LANE_ALIGN = 128  # per-call width alignment (tests shrink to force splits)
 
 
 def _head_splits(d_model: int, n_heads: int, t: int) -> int:
     """Number of sequential head-group slices so each call's resident
     weights (wq/wk/wv column slices + the wo row slice, bf16) AND its full
-    per-program block estimate fit VMEM. ViT-Ti/S/B need 1; ViT-L @224
-    needs 2; ViT-H @224 needs 4 (ns=2 fits the weights but the T=257
-    blocks overflow). 0 = no feasible plan. Shared by the dispatch gate and
-    the wrapper (one plan)."""
+    per-program block estimate fit VMEM, with the per-call width keeping
+    the proven 128-lane alignment. ViT-Ti/S/B need 1; ViT-L @224 and
+    ViT-B @320 need 2; ViT-H has no feasible plan (ns=2 overflows the
+    T=257 program budget, ns=4's 320-lane blocks break alignment) and
+    falls back to XLA. 0 = no feasible plan. Shared by the dispatch gate
+    and the wrapper (one plan)."""
     for ns in (1, 2, 4):
         if n_heads % ns or d_model % ns:
+            continue
+        if (d_model // ns) % _LANE_ALIGN:
+            # per-call q/k/v/o blocks and weight slices must keep the
+            # 128-lane alignment the single-call kernel is proven at —
+            # a (G,T,320) ViT-H ns=4 block has never compiled under Mosaic
             continue
         if (
             4 * d_model * (d_model // ns) * 2 < _RESIDENT_BUDGET
@@ -526,7 +534,8 @@ def use_fused_attention(d_model: int, n_heads: int, t: int, dropout: float, bias
     # to XLA instead of failing Mosaic compilation (the bug class a86df16
     # fixed for the CaiT kernel). 12 MiB leaves pipeline-buffer headroom
     # under the 20 MiB limit; vit_b @224 (T=197: 8.7 MiB, ns=1) fits,
-    # vit_b @320 (T=401) needs the ns=2 chain, ViT-L @224 ns=2, ViT-H ns=4.
+    # vit_b @320 (T=401) needs the ns=2 chain, ViT-L @224 ns=2; ViT-H has
+    # no aligned in-budget plan and falls back to XLA.
     ns = _head_splits(d_model, n_heads, t)
     if ns == 0 or (ns > 1 and not _ALLOW_HEAD_SPLIT):
         return False
