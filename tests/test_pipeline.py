@@ -254,3 +254,20 @@ def test_deit3_pipeline_forward_matches_sequential():
         lambda v, x: vit_pipeline_forward(vit, v, x, mesh=mesh, num_microbatches=4)
     )(v, x)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-4)
+
+
+def test_mixer_pipeline_forward_matches_sequential():
+    """MixerBlocks follow the block_i convention — the generic pipeline
+    machinery must reproduce the sequential MLP-Mixer exactly."""
+    from vision_toolbox_tpu.models.mlp_mixer import MLPMixer
+    from vision_toolbox_tpu.parallel.pipeline import mixer_pipeline_forward
+
+    mixer = MLPMixer(n_layers=8, d_model=32, patch_size=16, img_size=32)
+    v = mixer.init_variables(0, 32)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (8, 32, 32, 3))
+    want = mixer.apply(v, x)
+    mesh = create_mesh(("data", "pipe"), (2, 4))
+    got = jax.jit(
+        lambda v, x: mixer_pipeline_forward(mixer, v, x, mesh=mesh, batch_axis="data")
+    )(v, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-4)

@@ -318,6 +318,73 @@ def vit_pipeline_forward_stacked(
     return epilogue.apply({"params": rest}, out, train=train)
 
 
+class _MixerPrologue(nn.Module):
+    """Patch embed — the pre-pipeline part of MLPMixer.__call__
+    (models/mlp_mixer.py:66-73), applied against the SAME param names."""
+
+    d_model: int
+    patch_size: int
+    dtype: Any
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        from ..nn.initializers import torch_default_bias, torch_default_kernel
+
+        p = self.patch_size
+        x = nn.Conv(
+            self.d_model, (p, p), strides=(p, p), padding="VALID",
+            kernel_init=torch_default_kernel, bias_init=torch_default_bias(3 * p * p),
+            dtype=self.dtype, name="patch_embed",
+        )(x)
+        return x.reshape(x.shape[0], -1, self.d_model)
+
+
+class _MixerEpilogue(nn.Module):
+    """Final norm + GAP (models/mlp_mixer.py:80-81)."""
+
+    norm_eps: float
+    dtype: Any
+
+    @nn.compact
+    def __call__(self, out: jax.Array) -> jax.Array:
+        return nn.LayerNorm(self.norm_eps, dtype=self.dtype, name="norm")(out).mean(axis=1)
+
+
+def mixer_pipeline_forward(
+    mixer: nn.Module,
+    variables: dict,
+    x: jax.Array,
+    *,
+    mesh: Mesh,
+    axis: str = "pipe",
+    batch_axis: str | None = None,
+    num_microbatches: int | None = None,
+    train: bool = False,
+    remat: bool = False,
+) -> jax.Array:
+    """MLP-Mixer forward with the block stack pipelined over ``mesh[axis]``
+    — same shape as :func:`vit_pipeline_forward` (MixerBlocks follow the
+    same ``block_i`` naming, so the generic stack/stage machinery applies)."""
+    from ..models.mlp_mixer import MixerBlock, MLPMixer
+
+    assert type(mixer) is MLPMixer, type(mixer).__name__
+    stacked, rest = stack_block_params(variables["params"])
+    out = _MixerPrologue(mixer.d_model, mixer.patch_size, mixer.dtype).apply(
+        {"params": rest}, x
+    )
+    n_tokens = (mixer.img_size // mixer.patch_size) ** 2
+    block = MixerBlock(
+        n_tokens, mixer.d_model, mixer.mlp_ratio, mixer.dropout, mixer.norm_eps,
+        dtype=mixer.dtype,
+    )
+    out = pipeline_apply(
+        make_stage_fn(block, train=train, remat=remat), stacked, out,
+        mesh=mesh, axis=axis, batch_axis=batch_axis,
+        num_microbatches=num_microbatches,
+    )
+    return _MixerEpilogue(mixer.norm_eps, mixer.dtype).apply({"params": rest}, out)
+
+
 def pipeline_param_sharding(stacked: Any, mesh: Mesh, axis: str = "pipe"):
     """NamedShardings placing the stacked layer axis on the pipe axis."""
     from jax.sharding import NamedSharding
