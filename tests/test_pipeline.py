@@ -137,14 +137,34 @@ def test_vit_pipeline_forward_matches_sequential(pool_type):
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-4)
 
 
-def test_pipeline_rejects_deit_subclass():
-    """DeiT's dist-token __call__ is not mirrored — must fail loudly instead
-    of silently computing a different model."""
+def test_deit_pipeline_forward_matches_sequential():
+    """DeiT (dist token, PE-before-concat, (cls,dist) mean pool) routes
+    through its own prologue/epilogue mirrors."""
     deit = create_backbone("deit_s_16", img_size=32)
     v = deit.init_variables(0, 32)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (8, 32, 32, 3))
+    want = deit.apply(v, x)
     mesh = create_mesh(("pipe",), (4,), devices=jax.devices()[:4])
-    with pytest.raises(AssertionError, match="mirrors ViT exactly"):
-        vit_pipeline_forward(deit, v, jnp.zeros((8, 32, 32, 3)), mesh=mesh)
+    got = jax.jit(
+        lambda v, x: vit_pipeline_forward(deit, v, x, mesh=mesh, num_microbatches=4)
+    )(v, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-4)
+
+
+def test_pipeline_rejects_unknown_subclass():
+    """A ViT subclass the mirrors don't cover must fail loudly instead of
+    silently computing a different model."""
+    from vision_toolbox_tpu.models.vit import ViT
+
+    class Weird(ViT):
+        pass
+
+    vit = create_backbone("vit_ti_16", img_size=32)
+    weird = Weird(d_model=192, depth=12, n_heads=3, patch_size=16, img_size=32)
+    v = vit.init_variables(0, 32)
+    mesh = create_mesh(("pipe",), (4,), devices=jax.devices()[:4])
+    with pytest.raises(AssertionError, match="mirrors ViT/DeiT exactly"):
+        vit_pipeline_forward(weird, v, jnp.zeros((8, 32, 32, 3)), mesh=mesh)
 
 
 def test_vit_pipeline_train_step_stacked_state():

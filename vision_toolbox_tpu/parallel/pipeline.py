@@ -288,19 +288,23 @@ def vit_pipeline_forward_stacked(
     production pipeline training keeps ``(stacked, rest)`` AS the train
     state (stack once at setup, shard ``P(pipe)``, momentum mirrors it) and
     converts back to the checkpoint layout with ``unstack_block_params``."""
+    from ..models.deit import DeiT
     from ..models.vit import ViT
     from ..nn.attention import ViTBlock
 
-    # the prologue/epilogue mirror plain ViT only — a subclass with its own
-    # __call__ (DeiT's dist token) would silently compute a different model
-    assert type(vit) is ViT, (
-        f"pipeline forward mirrors ViT exactly; got {type(vit).__name__} "
-        f"(DeiT-with-dist-token is not supported — use deit3_*/vit_*)"
+    # the prologue/epilogue mirror ViT and DeiT exactly — any OTHER subclass
+    # with its own __call__ would silently compute a different model
+    is_deit = type(vit) is DeiT
+    assert is_deit or type(vit) is ViT, (
+        f"pipeline forward mirrors ViT/DeiT exactly; got {type(vit).__name__}"
     )
 
-    prologue = _ViTPrologue(
-        vit.d_model, vit.patch_size, vit.img_size, vit.cls_token, vit.dtype
-    )
+    if is_deit:
+        prologue = _DeiTPrologue(vit.d_model, vit.patch_size, vit.img_size, vit.dtype)
+    else:
+        prologue = _ViTPrologue(
+            vit.d_model, vit.patch_size, vit.img_size, vit.cls_token, vit.dtype
+        )
     out = prologue.apply({"params": rest}, x)
     block = ViTBlock(
         vit.d_model, vit.n_heads, vit.bias, vit.mlp_ratio, vit.dropout,
@@ -311,11 +315,61 @@ def vit_pipeline_forward_stacked(
         mesh=mesh, axis=axis, batch_axis=batch_axis,
         num_microbatches=num_microbatches,
     )
+    if is_deit:
+        return _DeiTEpilogue(vit.norm_eps, vit.dtype).apply({"params": rest}, out)
     epilogue = _ViTEpilogue(
         vit.d_model, vit.n_heads, vit.bias, vit.mlp_ratio, vit.norm_eps,
         vit.pool_type, vit.dtype,
     )
     return epilogue.apply({"params": rest}, out, train=train)
+
+
+class _DeiTPrologue(nn.Module):
+    """Patch embed + PE (before concat) + cls/dist tokens — the pre-pipeline
+    part of DeiT.__call__ (models/deit.py:23-35), SAME param names."""
+
+    d_model: int
+    patch_size: int
+    img_size: int
+    dtype: Any
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        from ..nn.initializers import torch_default_bias, torch_default_kernel
+
+        p = self.patch_size
+        h = nn.Conv(
+            self.d_model, (p, p), strides=(p, p), padding="VALID",
+            kernel_init=torch_default_kernel, bias_init=torch_default_bias(3 * p * p),
+            dtype=self.dtype, name="patch_embed",
+        )(x)
+        h = h.reshape(h.shape[0], -1, self.d_model)
+        n_tokens = (self.img_size // self.patch_size) ** 2
+        pe = self.param("pe", nn.initializers.normal(0.02), (1, n_tokens, self.d_model))
+        h = h + pe.astype(h.dtype)
+        cls = self.param("cls_token", nn.initializers.zeros, (1, 1, self.d_model))
+        dist = self.param("dist_token", nn.initializers.zeros, (1, 1, self.d_model))
+        B = h.shape[0]
+        return jnp.concatenate(
+            [
+                jnp.broadcast_to(cls, (B, 1, self.d_model)).astype(h.dtype),
+                jnp.broadcast_to(dist, (B, 1, self.d_model)).astype(h.dtype),
+                h,
+            ],
+            axis=1,
+        )
+
+
+class _DeiTEpilogue(nn.Module):
+    """Final norm + (cls, dist) mean pool (models/deit.py:37-38)."""
+
+    norm_eps: float
+    dtype: Any
+
+    @nn.compact
+    def __call__(self, tokens: jax.Array) -> jax.Array:
+        norm = nn.LayerNorm(self.norm_eps, dtype=self.dtype, name="norm")
+        return norm(tokens[:, :2]).mean(axis=1)
 
 
 class _MixerPrologue(nn.Module):
