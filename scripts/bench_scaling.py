@@ -158,10 +158,9 @@ def run_pp_config(spec, mesh, model_name, batch, img, dtype, do_time, steps):
     from vision_toolbox_tpu.train import sgd_with_param_groups
     from vision_toolbox_tpu.train.classifier import cross_entropy
 
-    if not model_name.startswith(("vit_", "deit3_")):
-        # DeiT's dist-token __call__ is not mirrored by the pipeline front end
-        raise SystemExit(f"{spec}: pipeline parallelism needs a plain-ViT --model "
-                         f"(vit_* | deit3_*)")
+    if not model_name.startswith(("vit_", "deit")):
+        raise SystemExit(f"{spec}: pipeline parallelism needs a ViT-family --model "
+                         f"(vit_* | deit_* | deit3_*)")
     dp, pp = mesh.shape["data"], mesh.shape["pipe"]
     vit = create_backbone(model_name, img_size=img, dtype=dtype)
     if vit.depth % pp:
@@ -354,7 +353,9 @@ def main():
         if top >= 8:
             configs.append(f"dp{top // 4}tp4")
         if args.model.startswith(("vit_", "deit3_")) and top >= 4:
-            # pipeline + sequence parallel legs (plain-ViT families only)
+            # pipeline + sequence parallel legs (sp needs the gap variant,
+            # so the default sweep adds them for plain-ViT models only;
+            # deit_* supports pp via --configs)
             configs += [f"dp{top // 4}pp4", f"dp{top // 2}sp2"]
 
     print(f"scaling sweep: backend={jax.default_backend()} devices={len(jax.devices())} "
