@@ -291,3 +291,22 @@ def test_mixer_pipeline_forward_matches_sequential():
         lambda v, x: mixer_pipeline_forward(mixer, v, x, mesh=mesh, batch_axis="data")
     )(v, x)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-4)
+
+
+def test_cait_pipeline_forward_matches_sequential():
+    """CaiT's sa_block_ stack pipelines through the generic machinery; the
+    cls-free ViT prologue and the replicated class-attention epilogue must
+    reproduce the sequential model."""
+    from vision_toolbox_tpu.models.cait import CaiT
+    from vision_toolbox_tpu.parallel.pipeline import cait_pipeline_forward
+
+    cait = CaiT(d_model=32, sa_depth=8, ca_depth=2, n_heads=2,
+                patch_size=16, img_size=32)
+    v = cait.init_variables(0, 32)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (8, 32, 32, 3))
+    want = cait.apply(v, x)
+    mesh = create_mesh(("data", "pipe"), (2, 4))
+    got = jax.jit(
+        lambda v, x: cait_pipeline_forward(cait, v, x, mesh=mesh, batch_axis="data")
+    )(v, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-4)

@@ -372,6 +372,86 @@ class _DeiTEpilogue(nn.Module):
         return norm(tokens[:, :2]).mean(axis=1)
 
 
+class _CaiTEpilogue(nn.Module):
+    """cls token + class-attention blocks + final norm — the post-pipeline
+    part of CaiT.__call__ (models/cait.py:143-150), SAME param names. The
+    CA stage is 2 tiny blocks over one cls token; it runs replicated."""
+
+    d_model: int
+    n_heads: int
+    ca_depth: int
+    bias: bool
+    mlp_ratio: float
+    dropout: float
+    layer_scale_init: float | None
+    stochastic_depth: float
+    norm_eps: float
+    dtype: Any
+
+    @nn.compact
+    def __call__(self, patches: jax.Array, train: bool = False) -> jax.Array:
+        from ..models.cait import CaiTCABlock
+
+        B = patches.shape[0]
+        cls = self.param("cls_token", nn.initializers.zeros, (1, 1, self.d_model))
+        cls = jnp.broadcast_to(cls, (B, 1, self.d_model)).astype(patches.dtype)
+        for i in range(self.ca_depth):
+            cls = CaiTCABlock(
+                self.d_model, self.n_heads, bias=self.bias, mlp_ratio=self.mlp_ratio,
+                dropout=self.dropout, layer_scale_init=self.layer_scale_init,
+                stochastic_depth=self.stochastic_depth, norm_eps=self.norm_eps,
+                dtype=self.dtype, name=f"ca_block_{i}",
+            )(patches, cls, train=train)
+        return nn.LayerNorm(self.norm_eps, dtype=self.dtype, name="norm")(cls[:, 0])
+
+
+def cait_pipeline_forward(
+    cait: nn.Module,
+    variables: dict,
+    x: jax.Array,
+    *,
+    mesh: Mesh,
+    axis: str = "pipe",
+    batch_axis: str | None = None,
+    num_microbatches: int | None = None,
+    train: bool = False,
+    remat: bool = False,
+) -> jax.Array:
+    """CaiT forward with the homogeneous self-attention stack (``sa_block_i``,
+    the bulk of the depth — e.g. 24 of 26 blocks) pipelined over
+    ``mesh[axis]``; patch embed and the 2-block class-attention stage run
+    replicated. CaiT's prologue is exactly ViT's cls-free embed (same
+    modules/names, models/cait.py:115-125)."""
+    from ..models.cait import CaiT, TalkingHeadAttention
+    from ..nn.attention import ViTBlock
+
+    assert type(cait) is CaiT, type(cait).__name__
+    stacked, rest = stack_block_params(variables["params"], prefix="sa_block_")
+    out = _ViTPrologue(
+        cait.d_model, cait.patch_size, cait.img_size, False, cait.dtype
+    ).apply({"params": rest}, x)
+    block = ViTBlock(
+        cait.d_model, cait.n_heads, cait.bias, cait.mlp_ratio, cait.dropout,
+        cait.layer_scale_init, cait.stochastic_depth, cait.norm_eps,
+        attention=lambda name: TalkingHeadAttention(
+            cait.d_model, cait.n_heads, cait.bias, cait.dropout,
+            dtype=cait.dtype, name=name,
+        ),
+        dtype=cait.dtype,
+    )
+    out = pipeline_apply(
+        make_stage_fn(block, train=train, remat=remat), stacked, out,
+        mesh=mesh, axis=axis, batch_axis=batch_axis,
+        num_microbatches=num_microbatches,
+    )
+    epilogue = _CaiTEpilogue(
+        cait.d_model, cait.n_heads, cait.ca_depth, cait.bias, cait.mlp_ratio,
+        cait.dropout, cait.layer_scale_init, cait.stochastic_depth,
+        cait.norm_eps, cait.dtype,
+    )
+    return epilogue.apply({"params": rest}, out, train=train)
+
+
 class _MixerPrologue(nn.Module):
     """Patch embed — the pre-pipeline part of MLPMixer.__call__
     (models/mlp_mixer.py:66-73), applied against the SAME param names."""
