@@ -86,6 +86,40 @@ def test_pipeline_apply_grads_match_sequential():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)
 
 
+def test_pipeline_bubble_skip_equivalence():
+    """skip_bubbles is a pure FLOP saver: identical values and grads to the
+    compute-everything schedule, and the compiled program really carries the
+    per-device conditional around the stage body."""
+    mesh = create_mesh(("pipe",), (4,), devices=jax.devices()[:4])
+    stacked = _toy_stack(L=8, D=16, seed=4)
+    x = jax.random.normal(jax.random.PRNGKey(5), (12, 16))
+    w = jnp.sin(jnp.arange(16))
+
+    def loss(skip):
+        def f(p, x):
+            y = pipeline_apply(
+                _toy_stage_fn, p, x, mesh=mesh, num_microbatches=6,
+                skip_bubbles=skip,
+            )
+            return jnp.sum(y * w)
+
+        return f
+
+    la, ga = jax.jit(jax.value_and_grad(loss(True)))(stacked, x)
+    lb, gb = jax.jit(jax.value_and_grad(loss(False)))(stacked, x)
+    np.testing.assert_allclose(float(la), float(lb), rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(ga), jax.tree.leaves(gb)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6)
+
+    txt = (
+        jax.jit(lambda p, x: pipeline_apply(_toy_stage_fn, p, x, mesh=mesh, num_microbatches=6))
+        .lower(stacked, x)
+        .compile()
+        .as_text()
+    )
+    assert "conditional" in txt, "bubble-skip did not compile to a conditional"
+
+
 def test_pipeline_apply_rejects_bad_divisibility():
     mesh = create_mesh(("pipe",), (4,), devices=jax.devices()[:4])
     stacked = _toy_stack(L=6, D=16)  # 6 % 4 != 0

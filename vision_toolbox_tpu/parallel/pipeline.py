@@ -18,7 +18,12 @@ Design:
   * The schedule is GPipe with M microbatches over S stages: ``M + S - 1``
     scan steps; stage 0 feeds new microbatches, stage S-1 collects outputs,
     everyone else relays. The bubble fraction is ``(S-1)/(M+S-1)`` — pick
-    ``M >= 4·S`` in production configs.
+    ``M >= 4·S`` in production configs. Bubble steps (stage s is idle for
+    the first s and last S-1-s steps) skip the stage compute entirely via a
+    per-device ``lax.cond`` (the ppermute relay stays outside the branch so
+    the collective never diverges across devices) — the idle devices burn no
+    FLOPs/HBM while they wait, which matters for energy and for any co-sharded
+    work on the same chips.
   * Autodiff: ``jax.grad`` through the scan + ppermute IS the pipelined
     backward (the transpose of a ring ppermute is the reverse-ring
     ppermute), with GPipe's stash-everything activation memory. Combine
@@ -112,14 +117,18 @@ def pipeline_apply(
     axis: str = "pipe",
     batch_axis: str | None = None,
     num_microbatches: int | None = None,
+    skip_bubbles: bool = True,
 ) -> jax.Array:
     """Run ``x`` through ``L`` stacked layers pipelined over ``mesh[axis]``.
 
     ``stacked_params``: leaves ``(L, ...)`` with ``L % S == 0``;
     ``x``: ``(B, ...)`` activations with ``B % M == 0``. ``stage_fn(params,
-    mb)`` applies one stage's ``L/S`` layers to one microbatch. Other mesh
+    mb)`` applies one stage's ``L/S`` layers to one microbatch (it must be
+    shape-preserving — the relay buffer is reused across steps). Other mesh
     axes: pass ``batch_axis`` to keep the batch sharded over it (data
     parallel) — every data-rank runs an independent pipeline.
+    ``skip_bubbles=False`` forces the pre-skip schedule in which every device
+    computes every step on (masked-out) garbage — kept for A/B tests.
 
     Returns ``(B, ...)`` outputs, identical (up to scheduling) to applying
     the L layers sequentially.
@@ -152,7 +161,16 @@ def pipeline_apply(
             # repeat whose output is never collected); others take the relay
             xin = jax.lax.dynamic_index_in_dim(xs, jnp.minimum(t, M - 1), 0, keepdims=False)
             cur = jnp.where(stage == 0, xin, state)
-            y = stage_fn(params, cur)
+            if skip_bubbles:
+                # stage s holds real microbatch u=t-s only for 0<=u<M; outside
+                # that window its input is a garbage relay whose output is
+                # never collected — skip the FLOPs (identity keeps the relay
+                # shape). Grads are unchanged: collection masks the garbage
+                # path to zero cotangent either way.
+                real = (t >= stage) & (t < stage + M)
+                y = jax.lax.cond(real, lambda c: stage_fn(params, c), lambda c: c, cur)
+            else:
+                y = stage_fn(params, cur)
             # last stage collects microbatch u = t-(S-1) once it's real
             u = jnp.clip(t - (S - 1), 0, M - 1)
             upd = jax.lax.dynamic_update_index_in_dim(outs, y, u, 0)
