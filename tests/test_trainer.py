@@ -57,6 +57,20 @@ def test_fit_and_checkpoint(tmp_path):
     np.testing.assert_array_equal(a, b)
 
 
+def test_drop_overrides_reach_backbone(tmp_path):
+    """model.drop_out/drop_path must actually land on the backbone module
+    (regression: linen modules have .clone(), not .replace() — the override
+    path raised AttributeError for every backbone)."""
+    cfg = _smoke_cfg(tmp_path)
+    cfg.model.backbone = "vit_ti_16"
+    cfg.model.backbone_kwargs = {"img_size": 32}
+    cfg.model.drop_out = 0.1
+    cfg.model.drop_path = 0.05
+    trainer = Trainer(cfg)
+    assert trainer.model.backbone.dropout == 0.1
+    assert trainer.model.backbone.stochastic_depth == 0.05
+
+
 def test_data_echoing_doubles_steps(tmp_path):
     cfg = _smoke_cfg(tmp_path)
     cfg.data.echo = 2

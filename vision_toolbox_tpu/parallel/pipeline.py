@@ -440,11 +440,31 @@ def cait_pipeline_forward(
     ``mesh[axis]``; patch embed and the 2-block class-attention stage run
     replicated. CaiT's prologue is exactly ViT's cls-free embed (same
     modules/names, models/cait.py:115-125)."""
+    stacked, rest = stack_block_params(variables["params"], prefix="sa_block_")
+    return cait_pipeline_forward_stacked(
+        cait, stacked, rest, x, mesh=mesh, axis=axis, batch_axis=batch_axis,
+        num_microbatches=num_microbatches, train=train, remat=remat,
+    )
+
+
+def cait_pipeline_forward_stacked(
+    cait: nn.Module,
+    stacked: Any,
+    rest: dict,
+    x: jax.Array,
+    *,
+    mesh: Mesh,
+    axis: str = "pipe",
+    batch_axis: str | None = None,
+    num_microbatches: int | None = None,
+    train: bool = False,
+    remat: bool = False,
+) -> jax.Array:
+    """:func:`cait_pipeline_forward` on a pre-stacked ``sa_block_`` state."""
     from ..models.cait import CaiT, TalkingHeadAttention
     from ..nn.attention import ViTBlock
 
     assert type(cait) is CaiT, type(cait).__name__
-    stacked, rest = stack_block_params(variables["params"], prefix="sa_block_")
     out = _ViTPrologue(
         cait.d_model, cait.patch_size, cait.img_size, False, cait.dtype
     ).apply({"params": rest}, x)
@@ -517,10 +537,30 @@ def mixer_pipeline_forward(
     """MLP-Mixer forward with the block stack pipelined over ``mesh[axis]``
     — same shape as :func:`vit_pipeline_forward` (MixerBlocks follow the
     same ``block_i`` naming, so the generic stack/stage machinery applies)."""
+    stacked, rest = stack_block_params(variables["params"])
+    return mixer_pipeline_forward_stacked(
+        mixer, stacked, rest, x, mesh=mesh, axis=axis, batch_axis=batch_axis,
+        num_microbatches=num_microbatches, train=train, remat=remat,
+    )
+
+
+def mixer_pipeline_forward_stacked(
+    mixer: nn.Module,
+    stacked: Any,
+    rest: dict,
+    x: jax.Array,
+    *,
+    mesh: Mesh,
+    axis: str = "pipe",
+    batch_axis: str | None = None,
+    num_microbatches: int | None = None,
+    train: bool = False,
+    remat: bool = False,
+) -> jax.Array:
+    """:func:`mixer_pipeline_forward` on a pre-stacked ``block_`` state."""
     from ..models.mlp_mixer import MixerBlock, MLPMixer
 
     assert type(mixer) is MLPMixer, type(mixer).__name__
-    stacked, rest = stack_block_params(variables["params"])
     out = _MixerPrologue(mixer.d_model, mixer.patch_size, mixer.dtype).apply(
         {"params": rest}, x
     )
@@ -542,3 +582,113 @@ def pipeline_param_sharding(stacked: Any, mesh: Mesh, axis: str = "pipe"):
     from jax.sharding import NamedSharding
 
     return jax.tree.map(lambda _: NamedSharding(mesh, P(axis)), stacked)
+
+
+# --------------------------------------------- trainer-level pipeline support
+
+
+def pipeline_block_prefix(model: nn.Module) -> str:
+    """The per-block param-name prefix of ``model``'s pipelinable stack."""
+    from ..models.cait import CaiT
+
+    return "sa_block_" if type(model) is CaiT else "block_"
+
+
+def pipeline_forward_stacked(
+    model: nn.Module,
+    stacked: Any,
+    rest: dict,
+    x: jax.Array,
+    **kw,
+) -> jax.Array:
+    """Dispatch to the family-specific pipelined forward (pre-stacked state).
+
+    Covers every stacked-transformer family: ViT/DeiT/DeiT3 (ViT class),
+    DeiT (dist-token subclass), CaiT (``sa_block_`` stack), MLP-Mixer.
+    Unknown subclasses fail loudly inside the family forwards."""
+    from ..models.cait import CaiT
+    from ..models.mlp_mixer import MLPMixer
+
+    if type(model) is CaiT:
+        return cait_pipeline_forward_stacked(model, stacked, rest, x, **kw)
+    if type(model) is MLPMixer:
+        return mixer_pipeline_forward_stacked(model, stacked, rest, x, **kw)
+    return vit_pipeline_forward_stacked(model, stacked, rest, x, **kw)
+
+
+def classifier_params_to_pipeline(params: dict, prefix: str = "block_") -> dict:
+    """ImageClassifier param tree (checkpoint layout) → pipeline layout.
+
+    ``{"backbone": {..., block_i...}, "head": ...}`` becomes
+    ``{"backbone": rest, "backbone_stacked": (L, ...) leaves, "head": ...}``.
+    The stacked subtree is the only part whose placement differs (``P(pipe)``);
+    leaf/module names inside each block are preserved, so the optimizer's
+    3-group weight-decay classification (train/optim.py param_group) and the
+    checkpoint converters keep working after :func:`classifier_params_from_pipeline`.
+    """
+    stacked, rest = stack_block_params(params["backbone"], prefix)
+    out = {k: v for k, v in params.items() if k != "backbone"}
+    out["backbone"] = rest
+    out["backbone_stacked"] = stacked
+    return out
+
+
+def classifier_params_from_pipeline(params: dict, prefix: str = "block_") -> dict:
+    """Inverse of :func:`classifier_params_to_pipeline` — back to the
+    standard checkpoint layout that loads into the sequential model."""
+    out = {k: v for k, v in params.items() if k != "backbone_stacked"}
+    out["backbone"] = unstack_block_params(
+        params["backbone_stacked"], params["backbone"], prefix
+    )
+    return out
+
+
+def make_classifier_pipeline_apply(
+    classifier: nn.Module,
+    mesh: Mesh,
+    *,
+    axis: str = "pipe",
+    batch_axis: str | None = "data",
+    num_microbatches: int | None = None,
+    remat: bool = False,
+) -> Callable:
+    """Drop-in ``apply_fn`` for ``ImageClassifier.apply`` on the pipeline
+    param layout (see :func:`classifier_params_to_pipeline`).
+
+    Signature-compatible with what train/step.py's train/eval steps call:
+    ``apply_fn(variables, x, train=..., mutable=[...], rngs=...)``. The
+    pipelined families are all LayerNorm models (no batch_stats) and the
+    stage fn carries no rng streams, so ``mutable`` returns an empty tree and
+    ``rngs`` is ignored — the trainer enforces dropout/drop-path == 0."""
+
+    def apply_fn(variables, x, train=False, mutable=None, rngs=None):
+        from ..nn.layers import Linear
+
+        p = variables["params"]
+        feats = pipeline_forward_stacked(
+            classifier.backbone, p["backbone_stacked"], p["backbone"], x,
+            mesh=mesh, axis=axis, batch_axis=batch_axis,
+            num_microbatches=num_microbatches, train=train, remat=remat,
+        )
+        head = Linear(classifier.num_classes, dtype=classifier.dtype, name="head")
+        logits = head.apply({"params": p["head"]}, feats).astype(jnp.float32)
+        return (logits, {}) if mutable else logits
+
+    return apply_fn
+
+
+def pipeline_state_shardings(state: Any, mesh: Mesh, axis: str = "pipe"):
+    """Sharding tree for a pipeline TrainState: every leaf whose tree path
+    passes through ``backbone_stacked`` (params AND the optimizer's
+    momentum/trace mirrors of them) goes ``P(axis)``; everything else is
+    replicated. Feed to ``jax.device_put(state, ...)`` to commit."""
+    from jax.sharding import NamedSharding
+
+    repl = NamedSharding(mesh, P())
+    pipe = NamedSharding(mesh, P(axis))
+
+    def sh(path, _leaf):
+        keys = tuple(str(getattr(k, "key", k)) for k in path)
+        return pipe if "backbone_stacked" in keys else repl
+
+    return jax.tree_util.tree_map_with_path(sh, state)

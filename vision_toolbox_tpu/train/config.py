@@ -89,6 +89,13 @@ class RuntimeConfig:
     sharding_min_size: int = 65536  # params smaller than this stay replicated
     profile_steps: int = 0  # capture a jax.profiler trace of N train steps
     tracker: str = "none"  # none | tensorboard | wandb (train/tracking.py)
+    # pipeline parallelism (parallel/pipeline.py): enabled when mesh_shape
+    # has a "pipe" axis > 1 (e.g. {"data": 2, "pipe": 4}); requires a
+    # stacked-transformer backbone (ViT/DeiT/DeiT3/CaiT/Mixer) with
+    # dropout/drop_path 0. 0 microbatches = auto (largest of 4S/2S/S that
+    # divides the batch).
+    pipeline_microbatches: int = 0
+    pipeline_remat: bool = False  # checkpoint each layer (GPipe memory lever)
 
 
 @dataclass

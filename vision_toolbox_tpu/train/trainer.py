@@ -55,6 +55,10 @@ class Trainer:
             )
         else:
             self.mesh = create_mesh(cfg.runtime.mesh_axes)
+        # pipeline parallelism: a "pipe" axis in the mesh switches to the
+        # stacked TrainState + GPipe forward (parallel/pipeline.py)
+        self.pp_stages = int((cfg.runtime.mesh_shape or {}).get("pipe", 1))
+        self.pp_microbatches = 0
         compute_dtype = jnp.bfloat16 if cfg.model.bf16 else jnp.float32
         backbone = create_backbone(
             cfg.model.backbone, dtype=compute_dtype, **cfg.model.backbone_kwargs
@@ -70,7 +74,10 @@ class Trainer:
             if value is not None and hasattr(backbone, field_name):
                 overrides[field_name] = value
         if overrides:
-            backbone = backbone.replace(**overrides)
+            # linen modules are frozen dataclasses but carry .clone(), not
+            # .replace() (that's flax.struct) — .replace here raised
+            # AttributeError for every backbone
+            backbone = backbone.clone(**overrides)
         self.model = ImageClassifier(
             backbone=backbone,
             num_classes=cfg.model.num_classes,
@@ -85,6 +92,8 @@ class Trainer:
         variables = self.model.init(
             {"params": rng}, jnp.zeros((1, img, img, 3)), train=False
         )
+        if self.pp_stages > 1:
+            variables = {"params": self._setup_pipeline(variables)}
         # gradient accumulation: k micro-batches average into one optimizer
         # step (beyond-reference; lets small slices run the big-batch recipe).
         # The schedule advances per OPTIMIZER step, so scale steps/epoch down.
@@ -112,7 +121,17 @@ class Trainer:
             import optax
 
             tx = optax.MultiSteps(tx, every_k_schedule=self.grad_accum).gradient_transformation()
-        self.state = TrainState.create(self.model.apply, variables, tx)
+        if self.pp_stages > 1:
+            from ..parallel.pipeline import make_classifier_pipeline_apply
+
+            apply_fn = make_classifier_pipeline_apply(
+                self.model, self.mesh,
+                num_microbatches=self.pp_microbatches,
+                remat=cfg.runtime.pipeline_remat,
+            )
+        else:
+            apply_fn = self.model.apply
+        self.state = TrainState.create(apply_fn, variables, tx)
 
         self.train_step = shard_train_step(
             make_train_step(
@@ -157,7 +176,10 @@ class Trainer:
 
             self.state = restore_train_state(
                 cfg.runtime.resume, self.state,
-                expect_meta={"grad_accum_steps": self.grad_accum},
+                expect_meta={
+                    "grad_accum_steps": self.grad_accum,
+                    "pipeline_stages": self.pp_stages,
+                },
             )
             print(f"resumed from {cfg.runtime.resume} at step {int(self.state.step)}")
 
@@ -178,6 +200,68 @@ class Trainer:
                 fsdp=cfg.runtime.param_sharding == "fsdp",
                 min_size=cfg.runtime.sharding_min_size,
             )
+        if self.pp_stages > 1:
+            # commit: stacked blocks (and their optimizer mirrors) layer-wise
+            # over the pipe axis, everything else replicated; done AFTER any
+            # resume so restored arrays get placed too
+            from ..parallel.pipeline import pipeline_state_shardings
+
+            self.state = jax.device_put(
+                self.state, pipeline_state_shardings(self.state, self.mesh)
+            )
+
+    # ------------------------------------------------------------------
+    def _setup_pipeline(self, variables) -> dict:
+        """Validate the config supports GPipe training and convert the param
+        tree to the pipeline layout (parallel/pipeline.py). Returns params."""
+        from ..models.cait import CaiT
+        from ..models.deit import DeiT
+        from ..models.mlp_mixer import MLPMixer
+        from ..models.vit import ViT
+        from ..parallel.pipeline import (
+            classifier_params_to_pipeline,
+            pipeline_block_prefix,
+        )
+
+        cfg = self.cfg
+        backbone = self.model.backbone
+        if "data" not in self.mesh.axis_names:
+            raise ValueError(
+                "pipeline parallelism needs a 'data' axis in runtime.mesh_shape "
+                "(size 1 is fine) — the batch is sharded over it"
+            )
+        if type(backbone) not in (ViT, DeiT, CaiT, MLPMixer):
+            raise ValueError(
+                "pipeline parallelism covers the stacked-transformer families "
+                f"ViT/DeiT/DeiT3/CaiT/MLP-Mixer; got {type(backbone).__name__}"
+            )
+        for f in ("dropout", "stochastic_depth"):
+            if getattr(backbone, f, 0.0):
+                raise ValueError(
+                    "pipeline stages carry no rng streams; set model.drop_out / "
+                    f"model.drop_path to 0 (backbone.{f}={getattr(backbone, f)})"
+                )
+        if variables.get("batch_stats"):
+            raise ValueError("pipelined backbones must be norm-stat-free")
+        if cfg.runtime.param_sharding != "replicated":
+            raise ValueError(
+                "pipeline parallelism composes with data parallelism only; "
+                "set runtime.param_sharding=replicated"
+            )
+        S, dp, B = self.pp_stages, self.mesh.shape["data"], cfg.data.batch_size
+        M = cfg.runtime.pipeline_microbatches
+        if not M:
+            M = next(
+                (m for m in (4 * S, 2 * S, S) if B % m == 0 and (B // m) % dp == 0), 0
+            )
+            if not M:
+                raise ValueError(
+                    f"no feasible microbatch count for batch {B} over {S} stages "
+                    f"x dp={dp}; set runtime.pipeline_microbatches explicitly"
+                )
+        self.pp_microbatches = M
+        self.pp_prefix = pipeline_block_prefix(backbone)
+        return classifier_params_to_pipeline(variables["params"], self.pp_prefix)
 
     # ------------------------------------------------------------------
     @property
@@ -413,7 +497,10 @@ class Trainer:
         path = save_train_state(
             os.path.join(self.cfg.runtime.out_dir, "checkpoints"), self.state,
             step=int(self.state.step),
-            meta={"grad_accum_steps": self.grad_accum},
+            meta={
+                "grad_accum_steps": self.grad_accum,
+                "pipeline_stages": self.pp_stages,
+            },
         )
         # ModelCheckpoint(monitor=val/acc, mode=max) equivalent (configs/base.yaml:33-36)
         if val_acc is not None and val_acc > self.best_acc:
