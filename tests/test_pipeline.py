@@ -120,6 +120,98 @@ def test_pipeline_bubble_skip_equivalence():
     assert "conditional" in txt, "bubble-skip did not compile to a conditional"
 
 
+@pytest.mark.parametrize("S,v,M,dp", [(4, 2, 4, None), (4, 2, 2, None), (2, 4, 2, 4)])
+def test_pipeline_interleaved_matches_sequential(S, v, M, dp):
+    """Megatron-style interleave: device d holds chunks d, d+S, ...; outputs
+    must be identical to the sequential stack (the schedule only reorders
+    bit-exact chunk applications)."""
+    from vision_toolbox_tpu.parallel.pipeline import interleave_block_params
+
+    if dp:
+        mesh = create_mesh(("data", "pipe"), (dp, S))
+        ba = "data"
+    else:
+        mesh = create_mesh(("pipe",), (S,), devices=jax.devices()[:S])
+        ba = None
+    stacked = _toy_stack(L=8, D=16, seed=7)
+    x = jax.random.normal(jax.random.PRNGKey(8), (16, 16))
+    want = _toy_sequential(stacked, x)
+    il = interleave_block_params(stacked, S, v)
+    got = jax.jit(
+        lambda p, x: pipeline_apply(
+            _toy_stage_fn, p, x, mesh=mesh, batch_axis=ba,
+            num_microbatches=M, interleave=v,
+        )
+    )(il, x)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_pipeline_interleaved_grads_match_sequential():
+    """Grads through the interleaved scan (param chunk dynamic-indexing per
+    pass) must match the sequential stack after un-permuting the layer axis."""
+    from vision_toolbox_tpu.parallel.pipeline import (
+        interleave_block_params,
+        uninterleave_block_params,
+    )
+
+    mesh = create_mesh(("pipe",), (4,), devices=jax.devices()[:4])
+    stacked = _toy_stack(L=8, D=16, seed=9)
+    x = jax.random.normal(jax.random.PRNGKey(10), (8, 16))
+    w = jnp.cos(jnp.arange(16))
+    il = interleave_block_params(stacked, 4, 2)
+    gp = jax.jit(
+        jax.grad(
+            lambda p, x: jnp.sum(
+                pipeline_apply(
+                    _toy_stage_fn, p, x, mesh=mesh, num_microbatches=4, interleave=2
+                )
+                * w
+            ),
+            argnums=(0, 1),
+        )
+    )(il, x)
+    gs = jax.jit(
+        jax.grad(lambda p, x: jnp.sum(_toy_sequential(p, x) * w), argnums=(0, 1))
+    )(stacked, x)
+    gp = (uninterleave_block_params(gp[0], 4, 2), gp[1])
+    for a, b in zip(jax.tree.leaves(gp), jax.tree.leaves(gs)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)
+
+
+def test_pipeline_interleaved_rejections():
+    """M > S collides two passes on one device; depth must split into v*S
+    chunks — both must fail loudly."""
+    mesh = create_mesh(("pipe",), (4,), devices=jax.devices()[:4])
+    stacked = _toy_stack(L=8, D=16)
+    x = jnp.zeros((16, 16))
+    with pytest.raises(AssertionError, match="microbatches <= stages"):
+        pipeline_apply(
+            _toy_stage_fn, stacked, x, mesh=mesh, num_microbatches=8, interleave=2
+        )
+    with pytest.raises(AssertionError, match="interleaved chunks"):
+        pipeline_apply(
+            _toy_stage_fn, _toy_stack(L=12), x, mesh=mesh,
+            num_microbatches=4, interleave=2,  # 12 % (4*2) != 0
+        )
+
+
+def test_vit_pipeline_interleaved_matches_sequential():
+    """ViT end-to-end through the interleaved schedule (depth 12 = 4 stages
+    x 3 chunks) must reproduce the sequential model."""
+    vit = create_backbone("vit_ti_16", img_size=32)
+    v = vit.init_variables(0, 32)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (8, 32, 32, 3))
+    want = vit.apply(v, x)
+    mesh = create_mesh(("data", "pipe"), (2, 4))
+    got = jax.jit(
+        lambda v, x: vit_pipeline_forward(
+            vit, v, x, mesh=mesh, batch_axis="data",
+            num_microbatches=4, interleave=3,
+        )
+    )(v, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-4)
+
+
 def test_pipeline_apply_rejects_bad_divisibility():
     mesh = create_mesh(("pipe",), (4,), devices=jax.devices()[:4])
     stacked = _toy_stack(L=6, D=16)  # 6 % 4 != 0

@@ -96,6 +96,34 @@ def test_pipeline_trainer_checkpoint_interchange_and_resume(tmp_path):
     )
 
 
+def test_pipeline_trainer_interleaved_matches_plain_dp(tmp_path):
+    """runtime.pipeline_interleave=3 (12 layers = 4 stages x 3 chunks) runs
+    the same production steps; final params must still match the plain DP
+    trainer after converting back to canonical layer order."""
+    cfg = _vit_cfg(tmp_path / "ppi", {"data": 2, "pipe": 4})
+    cfg.runtime.pipeline_interleave = 3
+    pp = Trainer(cfg)
+    assert pp.pp_microbatches == 4  # interleave caps M at S
+    pp_state = pp.fit()
+
+    plain = Trainer(_vit_cfg(tmp_path / "plain2"))
+    plain_state = plain.fit()
+
+    from vision_toolbox_tpu.parallel.pipeline import classifier_params_from_pipeline
+
+    got = classifier_params_from_pipeline(
+        jax.device_get(pp_state.params), stages=4, interleave=3
+    )
+    want = jax.device_get(plain_state.params)
+    ga = jax.tree_util.tree_leaves_with_path(got)
+    wa = jax.tree_util.tree_leaves_with_path(want)
+    assert [k for k, _ in ga] == [k for k, _ in wa]
+    for (k, a), (_, b) in zip(ga, wa):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-3, atol=2e-4, err_msg=str(k)
+        )
+
+
 def test_pipeline_trainer_rejections(tmp_path):
     """Unsupported configs must fail loudly at setup, not silently train a
     different model."""

@@ -78,6 +78,45 @@ def unstack_block_params(stacked: Any, rest: dict | None = None, prefix: str = "
     return out
 
 
+def _interleave_order(depth: int, stages: int, interleave: int):
+    """Layer permutation for the interleaved schedule: device d's chunks
+    (d, d+S, ..., d+(v-1)S) laid out contiguously, so the plain ``P(pipe)``
+    contiguous shard of the leading axis places them with zero data movement
+    (a canonical-order array would need a per-step weight permute instead)."""
+    import numpy as np
+
+    C = stages * interleave
+    assert depth % C == 0, f"depth {depth} not divisible by {stages} stages x {interleave} chunks"
+    lc = depth // C
+    return np.concatenate(
+        [
+            np.arange((d + p * stages) * lc, (d + p * stages + 1) * lc)
+            for d in range(stages)
+            for p in range(interleave)
+        ]
+    )
+
+
+def interleave_block_params(stacked: Any, stages: int, interleave: int) -> Any:
+    """Canonical ``(L, ...)`` layer order → device-major chunk order expected
+    by ``pipeline_apply(interleave=v)`` (see :func:`_interleave_order`)."""
+    if interleave == 1:
+        return stacked
+    order = _interleave_order(jax.tree.leaves(stacked)[0].shape[0], stages, interleave)
+    return jax.tree.map(lambda a: jnp.take(a, order, axis=0), stacked)
+
+
+def uninterleave_block_params(stacked: Any, stages: int, interleave: int) -> Any:
+    """Inverse of :func:`interleave_block_params` — back to canonical order."""
+    import numpy as np
+
+    if interleave == 1:
+        return stacked
+    order = _interleave_order(jax.tree.leaves(stacked)[0].shape[0], stages, interleave)
+    inv = np.argsort(order)
+    return jax.tree.map(lambda a: jnp.take(a, inv, axis=0), stacked)
+
+
 def make_stage_fn(block: nn.Module, train: bool = False, remat: bool = False) -> Callable:
     """Stage function applying a stack of ``block`` layers sequentially.
 
@@ -118,27 +157,54 @@ def pipeline_apply(
     batch_axis: str | None = None,
     num_microbatches: int | None = None,
     skip_bubbles: bool = True,
+    interleave: int = 1,
 ) -> jax.Array:
     """Run ``x`` through ``L`` stacked layers pipelined over ``mesh[axis]``.
 
     ``stacked_params``: leaves ``(L, ...)`` with ``L % S == 0``;
     ``x``: ``(B, ...)`` activations with ``B % M == 0``. ``stage_fn(params,
-    mb)`` applies one stage's ``L/S`` layers to one microbatch (it must be
+    mb)`` applies one stage's layer slice to one microbatch (it must be
     shape-preserving — the relay buffer is reused across steps). Other mesh
     axes: pass ``batch_axis`` to keep the batch sharded over it (data
     parallel) — every data-rank runs an independent pipeline.
     ``skip_bubbles=False`` forces the pre-skip schedule in which every device
     computes every step on (masked-out) garbage — kept for A/B tests.
 
+    ``interleave=v`` runs the Megatron-style interleaved schedule: the stack
+    splits into ``C = v*S`` chunks and device ``d`` holds chunks
+    ``d, d+S, ..., d+(v-1)S`` — each microbatch rides the ring ``v`` times,
+    so per-device utilization at ``M = S`` rises from ``S/(2S-1)`` (~1/2) to
+    ``vS/(vS+S-1)`` (~``v/(v+1)``) while keeping only ``M`` microbatches of
+    activations in flight (plain GPipe needs ``vM`` microbatches for the
+    same bubble — interleave is the activation-memory lever). The relay
+    stays the same ring ppermute; the per-step cost is ``v-1`` extra
+    activation-sized hops per microbatch. Constraints: ``M <= S`` (the
+    collision-free window of the shifted schedule), ``L % (v*S) == 0``, and
+    ``stacked_params`` must already be in device-major chunk order
+    (:func:`interleave_block_params`) so the contiguous ``P(pipe)`` shard
+    places each device's chunks with zero per-step weight movement.
+    ``stage_fn`` receives ``L/(v*S)``-layer slices.
+
     Returns ``(B, ...)`` outputs, identical (up to scheduling) to applying
     the L layers sequentially.
     """
     S = mesh.shape[axis]
+    v = interleave
+    assert v >= 1, f"interleave must be >= 1, got {v}"
     M = num_microbatches or max(S, 1)
     B = x.shape[0]
     L = jax.tree.leaves(stacked_params)[0].shape[0]
-    assert L % S == 0, f"depth {L} not divisible by {S} pipeline stages"
+    assert L % (S * v) == 0, (
+        f"depth {L} not divisible by {S} pipeline stages"
+        + (f" x {v} interleaved chunks" if v > 1 else "")
+    )
     assert B % M == 0, f"batch {B} not divisible by {M} microbatches"
+    if v > 1:
+        assert M <= S, (
+            f"interleaved schedule needs num_microbatches <= stages ({M} > {S}): "
+            f"with M > S two passes of different microbatches collide on a "
+            f"device at the same step"
+        )
     if batch_axis is not None:
         dp = mesh.shape[batch_axis]
         assert (B // M) % dp == 0, (
@@ -152,10 +218,9 @@ def pipeline_apply(
 
     def run(params, xs):
         stage = jax.lax.axis_index(axis)
-        n_steps = M + S - 1
         perm = [(i, (i + 1) % S) for i in range(S)]
 
-        def step(carry, t):
+        def step_gpipe(carry, t):
             state, outs = carry
             # stage 0 ingests microbatch t (clamped — bubble steps feed a
             # repeat whose output is never collected); others take the relay
@@ -178,7 +243,49 @@ def pipeline_apply(
             nxt = jax.lax.ppermute(y, axis, perm)
             return (nxt, outs), None
 
+        def step_interleaved(carry, t, lparams):
+            # Which (microbatch, chunk) does this device hold at step t?
+            # Microbatch m sits at chunk c = t - m, and chunk c lives here
+            # iff c ≡ stage (mod S); with M <= S at most one candidate m is
+            # in range: m* = (t - stage) mod S. Local pass p = (c - stage)/S.
+            state, outs = carry
+            C = v * S
+            mstar = jnp.mod(t - stage, S)
+            c = t - mstar
+            p = jnp.clip((c - stage) // S, 0, v - 1)
+            real = (mstar < M) & (c >= 0) & (c < C)
+            local = jax.tree.map(
+                lambda a: jax.lax.dynamic_index_in_dim(a, p, 0, keepdims=False),
+                lparams,
+            )
+            xin = jax.lax.dynamic_index_in_dim(xs, jnp.minimum(t, M - 1), 0, keepdims=False)
+            # device 0 ingests on its pass-0 window (chunk 0); every later
+            # pass — and every other device — consumes the ring relay
+            cur = jnp.where((stage == 0) & (c <= 0), xin, state)
+            if skip_bubbles:
+                y = jax.lax.cond(
+                    real, lambda a: stage_fn(a[0], a[1]), lambda a: a[1], (local, cur)
+                )
+            else:
+                y = stage_fn(local, cur)
+            # the final chunk C-1 (on device S-1) finishes microbatch m*
+            upd = jax.lax.dynamic_update_index_in_dim(
+                outs, y, jnp.clip(mstar, 0, M - 1), 0
+            )
+            outs = jnp.where(real & (c == C - 1), upd, outs)
+            nxt = jax.lax.ppermute(y, axis, perm)
+            return (nxt, outs), None
+
         carry0 = (jnp.zeros_like(xs[0]), jnp.zeros_like(xs))
+        if v == 1:
+            step, n_steps = step_gpipe, M + S - 1
+        else:
+            # local leaves (v * L/C, ...) -> (v, L/C, ...): pass-indexable
+            lparams = jax.tree.map(
+                lambda a: a.reshape(v, a.shape[0] // v, *a.shape[1:]), params
+            )
+            step = functools.partial(step_interleaved, lparams=lparams)
+            n_steps = M + v * S - 1
         (_, outs), _ = jax.lax.scan(step, carry0, jnp.arange(n_steps))
         # broadcast the collected outputs from the last stage to every pipe
         # rank (one all-reduce; keeps the result's sharding pipe-invariant
@@ -274,6 +381,7 @@ def vit_pipeline_forward(
     num_microbatches: int | None = None,
     train: bool = False,
     remat: bool = False,
+    interleave: int = 1,
 ) -> jax.Array:
     """ViT forward with the block stack pipelined over ``mesh[axis]``.
 
@@ -283,9 +391,11 @@ def vit_pipeline_forward(
     plain GSPMD on every device.
     """
     stacked, rest = stack_block_params(variables["params"])
+    stacked = interleave_block_params(stacked, mesh.shape[axis], interleave)
     return vit_pipeline_forward_stacked(
         vit, stacked, rest, x, mesh=mesh, axis=axis, batch_axis=batch_axis,
         num_microbatches=num_microbatches, train=train, remat=remat,
+        interleave=interleave,
     )
 
 
@@ -301,6 +411,7 @@ def vit_pipeline_forward_stacked(
     num_microbatches: int | None = None,
     train: bool = False,
     remat: bool = False,
+    interleave: int = 1,
 ) -> jax.Array:
     """Same as :func:`vit_pipeline_forward` but on a pre-stacked state —
     production pipeline training keeps ``(stacked, rest)`` AS the train
@@ -331,7 +442,7 @@ def vit_pipeline_forward_stacked(
     out = pipeline_apply(
         make_stage_fn(block, train=train, remat=remat), stacked, out,
         mesh=mesh, axis=axis, batch_axis=batch_axis,
-        num_microbatches=num_microbatches,
+        num_microbatches=num_microbatches, interleave=interleave,
     )
     if is_deit:
         return _DeiTEpilogue(vit.norm_eps, vit.dtype).apply({"params": rest}, out)
@@ -434,6 +545,7 @@ def cait_pipeline_forward(
     num_microbatches: int | None = None,
     train: bool = False,
     remat: bool = False,
+    interleave: int = 1,
 ) -> jax.Array:
     """CaiT forward with the homogeneous self-attention stack (``sa_block_i``,
     the bulk of the depth — e.g. 24 of 26 blocks) pipelined over
@@ -441,9 +553,11 @@ def cait_pipeline_forward(
     replicated. CaiT's prologue is exactly ViT's cls-free embed (same
     modules/names, models/cait.py:115-125)."""
     stacked, rest = stack_block_params(variables["params"], prefix="sa_block_")
+    stacked = interleave_block_params(stacked, mesh.shape[axis], interleave)
     return cait_pipeline_forward_stacked(
         cait, stacked, rest, x, mesh=mesh, axis=axis, batch_axis=batch_axis,
         num_microbatches=num_microbatches, train=train, remat=remat,
+        interleave=interleave,
     )
 
 
@@ -459,6 +573,7 @@ def cait_pipeline_forward_stacked(
     num_microbatches: int | None = None,
     train: bool = False,
     remat: bool = False,
+    interleave: int = 1,
 ) -> jax.Array:
     """:func:`cait_pipeline_forward` on a pre-stacked ``sa_block_`` state."""
     from ..models.cait import CaiT, TalkingHeadAttention
@@ -480,7 +595,7 @@ def cait_pipeline_forward_stacked(
     out = pipeline_apply(
         make_stage_fn(block, train=train, remat=remat), stacked, out,
         mesh=mesh, axis=axis, batch_axis=batch_axis,
-        num_microbatches=num_microbatches,
+        num_microbatches=num_microbatches, interleave=interleave,
     )
     epilogue = _CaiTEpilogue(
         cait.d_model, cait.n_heads, cait.ca_depth, cait.bias, cait.mlp_ratio,
@@ -533,14 +648,17 @@ def mixer_pipeline_forward(
     num_microbatches: int | None = None,
     train: bool = False,
     remat: bool = False,
+    interleave: int = 1,
 ) -> jax.Array:
     """MLP-Mixer forward with the block stack pipelined over ``mesh[axis]``
     — same shape as :func:`vit_pipeline_forward` (MixerBlocks follow the
     same ``block_i`` naming, so the generic stack/stage machinery applies)."""
     stacked, rest = stack_block_params(variables["params"])
+    stacked = interleave_block_params(stacked, mesh.shape[axis], interleave)
     return mixer_pipeline_forward_stacked(
         mixer, stacked, rest, x, mesh=mesh, axis=axis, batch_axis=batch_axis,
         num_microbatches=num_microbatches, train=train, remat=remat,
+        interleave=interleave,
     )
 
 
@@ -556,6 +674,7 @@ def mixer_pipeline_forward_stacked(
     num_microbatches: int | None = None,
     train: bool = False,
     remat: bool = False,
+    interleave: int = 1,
 ) -> jax.Array:
     """:func:`mixer_pipeline_forward` on a pre-stacked ``block_`` state."""
     from ..models.mlp_mixer import MixerBlock, MLPMixer
@@ -572,7 +691,7 @@ def mixer_pipeline_forward_stacked(
     out = pipeline_apply(
         make_stage_fn(block, train=train, remat=remat), stacked, out,
         mesh=mesh, axis=axis, batch_axis=batch_axis,
-        num_microbatches=num_microbatches,
+        num_microbatches=num_microbatches, interleave=interleave,
     )
     return _MixerEpilogue(mixer.norm_eps, mixer.dtype).apply({"params": rest}, out)
 
@@ -616,7 +735,9 @@ def pipeline_forward_stacked(
     return vit_pipeline_forward_stacked(model, stacked, rest, x, **kw)
 
 
-def classifier_params_to_pipeline(params: dict, prefix: str = "block_") -> dict:
+def classifier_params_to_pipeline(
+    params: dict, prefix: str = "block_", stages: int = 1, interleave: int = 1
+) -> dict:
     """ImageClassifier param tree (checkpoint layout) → pipeline layout.
 
     ``{"backbone": {..., block_i...}, "head": ...}`` becomes
@@ -627,19 +748,24 @@ def classifier_params_to_pipeline(params: dict, prefix: str = "block_") -> dict:
     checkpoint converters keep working after :func:`classifier_params_from_pipeline`.
     """
     stacked, rest = stack_block_params(params["backbone"], prefix)
+    if interleave > 1:
+        stacked = interleave_block_params(stacked, stages, interleave)
     out = {k: v for k, v in params.items() if k != "backbone"}
     out["backbone"] = rest
     out["backbone_stacked"] = stacked
     return out
 
 
-def classifier_params_from_pipeline(params: dict, prefix: str = "block_") -> dict:
+def classifier_params_from_pipeline(
+    params: dict, prefix: str = "block_", stages: int = 1, interleave: int = 1
+) -> dict:
     """Inverse of :func:`classifier_params_to_pipeline` — back to the
     standard checkpoint layout that loads into the sequential model."""
+    stacked = params["backbone_stacked"]
+    if interleave > 1:
+        stacked = uninterleave_block_params(stacked, stages, interleave)
     out = {k: v for k, v in params.items() if k != "backbone_stacked"}
-    out["backbone"] = unstack_block_params(
-        params["backbone_stacked"], params["backbone"], prefix
-    )
+    out["backbone"] = unstack_block_params(stacked, params["backbone"], prefix)
     return out
 
 
@@ -651,6 +777,7 @@ def make_classifier_pipeline_apply(
     batch_axis: str | None = "data",
     num_microbatches: int | None = None,
     remat: bool = False,
+    interleave: int = 1,
 ) -> Callable:
     """Drop-in ``apply_fn`` for ``ImageClassifier.apply`` on the pipeline
     param layout (see :func:`classifier_params_to_pipeline`).
@@ -669,6 +796,7 @@ def make_classifier_pipeline_apply(
             classifier.backbone, p["backbone_stacked"], p["backbone"], x,
             mesh=mesh, axis=axis, batch_axis=batch_axis,
             num_microbatches=num_microbatches, train=train, remat=remat,
+            interleave=interleave,
         )
         head = Linear(classifier.num_classes, dtype=classifier.dtype, name="head")
         logits = head.apply({"params": p["head"]}, feats).astype(jnp.float32)

@@ -96,6 +96,10 @@ class RuntimeConfig:
     # divides the batch).
     pipeline_microbatches: int = 0
     pipeline_remat: bool = False  # checkpoint each layer (GPipe memory lever)
+    # Megatron-style interleaved schedule: each device holds `interleave`
+    # non-contiguous layer chunks, shrinking the bubble at FIXED microbatch
+    # count/memory (needs depth % (pipe*interleave) == 0, microbatches <= pipe)
+    pipeline_interleave: int = 1
 
 
 @dataclass

@@ -128,6 +128,7 @@ class Trainer:
                 self.model, self.mesh,
                 num_microbatches=self.pp_microbatches,
                 remat=cfg.runtime.pipeline_remat,
+                interleave=cfg.runtime.pipeline_interleave,
             )
         else:
             apply_fn = self.model.apply
@@ -179,6 +180,7 @@ class Trainer:
                 expect_meta={
                     "grad_accum_steps": self.grad_accum,
                     "pipeline_stages": self.pp_stages,
+                    "pipeline_interleave": cfg.runtime.pipeline_interleave,
                 },
             )
             print(f"resumed from {cfg.runtime.resume} at step {int(self.state.step)}")
@@ -249,10 +251,14 @@ class Trainer:
                 "set runtime.param_sharding=replicated"
             )
         S, dp, B = self.pp_stages, self.mesh.shape["data"], cfg.data.batch_size
+        v = cfg.runtime.pipeline_interleave
         M = cfg.runtime.pipeline_microbatches
         if not M:
+            # interleave caps M at S (collision-free window); plain GPipe
+            # prefers 4S for bubble amortization
+            candidates = (S, S // 2, 1) if v > 1 else (4 * S, 2 * S, S)
             M = next(
-                (m for m in (4 * S, 2 * S, S) if B % m == 0 and (B // m) % dp == 0), 0
+                (m for m in candidates if m and B % m == 0 and (B // m) % dp == 0), 0
             )
             if not M:
                 raise ValueError(
@@ -261,7 +267,9 @@ class Trainer:
                 )
         self.pp_microbatches = M
         self.pp_prefix = pipeline_block_prefix(backbone)
-        return classifier_params_to_pipeline(variables["params"], self.pp_prefix)
+        return classifier_params_to_pipeline(
+            variables["params"], self.pp_prefix, stages=S, interleave=v
+        )
 
     # ------------------------------------------------------------------
     @property
@@ -500,6 +508,7 @@ class Trainer:
             meta={
                 "grad_accum_steps": self.grad_accum,
                 "pipeline_stages": self.pp_stages,
+                "pipeline_interleave": self.cfg.runtime.pipeline_interleave,
             },
         )
         # ModelCheckpoint(monitor=val/acc, mode=max) equivalent (configs/base.yaml:33-36)
