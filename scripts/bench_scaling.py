@@ -75,24 +75,28 @@ def collective_bytes(hlo_text: str) -> dict:
 
 
 def parse_config(spec: str):
-    """'dp8' | 'dp4tp2' | 'dp2pp4' | 'dp2sp4' | 'fsdp8' -> (axes/sizes, mode)."""
-    m = re.fullmatch(r"(dp|fsdp)(\d+)(?:(tp|pp|sp)(\d+))?", spec)
+    """'dp8' | 'dp4tp2' | 'dp2pp4' | 'dp2pp4v3' | 'dp2sp4' | 'fsdp8' ->
+    (axes, sizes, mode, interleave). The vV suffix (pp only) selects the
+    Megatron-style interleaved schedule with V chunks per device."""
+    m = re.fullmatch(r"(dp|fsdp)(\d+)(?:(tp|pp|sp)(\d+))?(?:v(\d+))?", spec)
     if not m:
         raise SystemExit(
-            f"bad config {spec!r}: use dpN | dpNtpM | dpNppM | dpNspM | fsdpN"
+            f"bad config {spec!r}: use dpN | dpNtpM | dpNppM[vV] | dpNspM | fsdpN"
         )
-    kind, n, sub, k = m.group(1), int(m.group(2)), m.group(3), m.group(4)
+    kind, n, sub, k, v = m.group(1), int(m.group(2)), m.group(3), m.group(4), m.group(5)
+    if v and sub != "pp":
+        raise SystemExit(f"bad config {spec!r}: the vV interleave suffix needs ppM")
     if kind == "fsdp":
         if sub:
             raise SystemExit(f"bad config {spec!r}: fsdp composes with dp only")
-        return ("data",), (n,), "fsdp"
+        return ("data",), (n,), "fsdp", 1
     if sub == "tp":
-        return ("data", "model"), (n, int(k)), "tp"
+        return ("data", "model"), (n, int(k)), "tp", 1
     if sub == "pp":  # pipeline parallelism (parallel/pipeline.py, ViT models)
-        return ("data", "pipe"), (n, int(k)), "pp"
+        return ("data", "pipe"), (n, int(k)), "pp", int(v or 1)
     if sub == "sp":  # sequence parallelism (ViT token_sharding hook)
-        return ("data", "seq"), (n, int(k)), "sp"
-    return ("data",), (n,), "replicated"
+        return ("data", "seq"), (n, int(k)), "sp", 1
+    return ("data",), (n,), "replicated", 1
 
 
 def _compiled_stats(compiled):
@@ -138,12 +142,14 @@ def _print_row(spec, row, extra=""):
     print(f"  {spec}: mesh {row['mesh']}{extra}  collectives: {kinds}{t}", flush=True)
 
 
-def run_pp_config(spec, mesh, model_name, batch, img, dtype, do_time, steps):
+def run_pp_config(spec, mesh, model_name, batch, img, dtype, do_time, steps, interleave=1):
     """Pipeline-parallel leg: GPipe over the 'pipe' axis (parallel/pipeline.py)
     with the stacked-blocks train state; collective bytes show the ppermute
     relays + the data-axis grad all-reduce instead of DP's full-tree sync.
     The step matches the other configs' shape (label-smoothed CE, SGD with
-    3-group weight decay) so timing rows are comparable."""
+    3-group weight decay) so timing rows are comparable. ``interleave>1``
+    runs the Megatron interleaved schedule (device-major chunk layout, M
+    capped at the stage count)."""
     import jax
     import jax.numpy as jnp
     import optax
@@ -151,6 +157,7 @@ def run_pp_config(spec, mesh, model_name, batch, img, dtype, do_time, steps):
     from vision_toolbox_tpu import create_backbone
     from vision_toolbox_tpu.parallel import shard_batch
     from vision_toolbox_tpu.parallel.pipeline import (
+        interleave_block_params,
         pipeline_param_sharding,
         stack_block_params,
         vit_pipeline_forward_stacked,
@@ -162,18 +169,22 @@ def run_pp_config(spec, mesh, model_name, batch, img, dtype, do_time, steps):
         raise SystemExit(f"{spec}: pipeline parallelism needs a ViT-family --model "
                          f"(vit_* | deit_* | deit3_*)")
     dp, pp = mesh.shape["data"], mesh.shape["pipe"]
+    v = interleave
     vit = create_backbone(model_name, img_size=img, dtype=dtype)
-    if vit.depth % pp:
-        print(f"  {spec}: SKIP (depth {vit.depth} % {pp} stages != 0)")
+    if vit.depth % (pp * v):
+        print(f"  {spec}: SKIP (depth {vit.depth} % {pp} stages x {v} chunks != 0)")
         return None
-    # microbatches: amortize the (S-1)-step bubble when the batch allows
-    M = next((m for m in (4 * pp, 2 * pp, pp) if batch % m == 0 and (batch // m) % dp == 0), None)
+    # microbatches: amortize the (S-1)-step bubble when the batch allows;
+    # the interleaved schedule's collision-free window caps M at S
+    cand = (pp, pp // 2, 1) if v > 1 else (4 * pp, 2 * pp, pp)
+    M = next((m for m in cand if m and batch % m == 0 and (batch // m) % dp == 0), None)
     if M is None:
         print(f"  {spec}: SKIP (batch {batch} not divisible into microbatches over dp{dp})")
         return None
 
     vvars = vit.init_variables(0, img)
     stacked, rest = stack_block_params(vvars["params"])
+    stacked = interleave_block_params(stacked, pp, v)
     stacked = jax.device_put(stacked, pipeline_param_sharding(stacked, mesh))
     head_k = jax.random.normal(jax.random.PRNGKey(5), (vit.d_model, 1000), jnp.float32) * vit.d_model**-0.5
     params = {"blocks": stacked, "rest": rest,
@@ -185,6 +196,7 @@ def run_pp_config(spec, mesh, model_name, batch, img, dtype, do_time, steps):
         feats = vit_pipeline_forward_stacked(
             vit, params["blocks"], params["rest"], x.astype(dtype),
             mesh=mesh, batch_axis="data", num_microbatches=M, train=True,
+            interleave=v,
         )
         logits = feats.astype(jnp.float32) @ params["head"]["kernel"] + params["head"]["bias"]
         return cross_entropy(logits, y, label_smoothing=0.1)
@@ -208,6 +220,7 @@ def run_pp_config(spec, mesh, model_name, batch, img, dtype, do_time, steps):
         "global_batch": batch,
         "microbatches": M,
         "stages": pp,
+        "interleave": v,
         "collectives": coll,
         "collective_mb_per_step": round(sum(e["bytes"] for e in coll.values()) / 2**20, 2),
         "memory": mem,
@@ -219,7 +232,8 @@ def run_pp_config(spec, mesh, model_name, batch, img, dtype, do_time, steps):
             return (p, o), loss
 
         _attach_timing(row, advance, (params, opt_state), batch, steps)
-    _print_row(spec, row, extra=f" ({pp} stages, {M} microbatches)")
+    _print_row(spec, row, extra=f" ({pp} stages, {M} microbatches"
+                                + (f", interleave {v}" if v > 1 else "") + ")")
     return row
 
 
@@ -235,7 +249,7 @@ def run_config(spec: str, model_name: str, batch: int, img: int, dtype, do_time:
         shard_train_step,
     )
 
-    axes, sizes, mode = parse_config(spec)
+    axes, sizes, mode, interleave = parse_config(spec)
     n_dev = 1
     for s in sizes:
         n_dev *= s
@@ -244,7 +258,8 @@ def run_config(spec: str, model_name: str, batch: int, img: int, dtype, do_time:
         return None
     mesh = create_mesh(axes, sizes, devices=jax.devices()[:n_dev])
     if mode == "pp":
-        return run_pp_config(spec, mesh, model_name, batch, img, dtype, do_time, steps)
+        return run_pp_config(spec, mesh, model_name, batch, img, dtype, do_time,
+                             steps, interleave=interleave)
 
     backbone_kwargs = {}
     if model_name.startswith(("vit_", "deit", "cait", "swin", "mlp_mixer")):
@@ -322,8 +337,9 @@ def main():
     ap.add_argument("--devices", default="8",
                     help="virtual CPU device count(s), comma-separated (max used)")
     ap.add_argument("--configs", default=None,
-                    help="comma-separated dpN|dpNtpM|dpNppM|dpNspM|fsdpN "
-                         "(default: sweep from --devices; pp/sp need vit_*/deit3_*)")
+                    help="comma-separated dpN|dpNtpM|dpNppM[vV]|dpNspM|fsdpN "
+                         "(default: sweep from --devices; pp/sp need vit_*/deit3_*; "
+                         "ppMvV = Megatron-interleaved with V chunks/device)")
     ap.add_argument("--model", default="cspdarknet53")
     ap.add_argument("--batch", type=int, default=64)
     ap.add_argument("--img", type=int, default=64)
@@ -356,7 +372,9 @@ def main():
             # pipeline + sequence parallel legs (sp needs the gap variant,
             # so the default sweep adds them for plain-ViT models only;
             # deit_* supports pp via --configs)
-            configs += [f"dp{top // 4}pp4", f"dp{top // 2}sp2"]
+            # pp4v3: Megatron-interleaved (depth-12 ViTs split 4 stages x 3
+            # chunks; other depths SKIP gracefully)
+            configs += [f"dp{top // 4}pp4", f"dp{top // 4}pp4v3", f"dp{top // 2}sp2"]
 
     print(f"scaling sweep: backend={jax.default_backend()} devices={len(jax.devices())} "
           f"model={args.model} global_batch={args.batch}@{args.img} dtype={dtype_name}")

@@ -34,15 +34,18 @@ def test_collective_byte_parser():
 
 
 def test_parse_config_grammar():
-    assert parse_config("dp8") == (("data",), (8,), "replicated")
-    assert parse_config("dp4tp2") == (("data", "model"), (4, 2), "tp")
-    assert parse_config("fsdp8") == (("data",), (8,), "fsdp")
-    assert parse_config("dp2pp4") == (("data", "pipe"), (2, 4), "pp")
-    assert parse_config("dp4sp2") == (("data", "seq"), (4, 2), "sp")
+    assert parse_config("dp8") == (("data",), (8,), "replicated", 1)
+    assert parse_config("dp4tp2") == (("data", "model"), (4, 2), "tp", 1)
+    assert parse_config("fsdp8") == (("data",), (8,), "fsdp", 1)
+    assert parse_config("dp2pp4") == (("data", "pipe"), (2, 4), "pp", 1)
+    assert parse_config("dp2pp4v3") == (("data", "pipe"), (2, 4), "pp", 3)
+    assert parse_config("dp4sp2") == (("data", "seq"), (4, 2), "sp", 1)
     with pytest.raises(SystemExit):
         parse_config("tp8")
     with pytest.raises(SystemExit):
         parse_config("fsdp4pp2")
+    with pytest.raises(SystemExit):
+        parse_config("dp4tp2v2")  # interleave suffix is pp-only
 
 
 @pytest.mark.parametrize(
@@ -66,6 +69,16 @@ def test_pp_leg_emits_permutes():
     assert row["stages"] == 4 and row["microbatches"] >= 4
     assert "collective-permute" in row["collectives"]
     assert "all-reduce" in row["collectives"]
+
+
+def test_pp_interleaved_leg_runs():
+    """Interleaved pipeline config: M is capped at the stage count and the
+    ring relays still compile to collective-permutes."""
+    row = run_config("dp2pp4v3", "vit_ti_16", batch=16, img=32,
+                     dtype=jnp.float32, do_time=False, steps=1)
+    assert row is not None
+    assert row["interleave"] == 3 and row["microbatches"] == 4
+    assert "collective-permute" in row["collectives"]
 
 
 def test_sp_leg_emits_gathers():
