@@ -74,3 +74,31 @@ def test_pick_group():
 def test_dispatch_rule_off_cpu():
     # CPU backend in tests: dispatch must stay on XLA
     assert not use_short(197, 197, 64, 1536)
+
+
+def test_admit_group_vmem_budget():
+    """Regression for the ViT-L scoped-VMEM OOM (v5e, round 4): the packed
+    backward at D=1024 G=2 needs 19.71 MiB actual vs the 16 MiB scoped limit;
+    the byte model must shrink ViT-L to G=1 and push ViT-H-class widths (even
+    G=1 over budget) to the flat per-head layout."""
+    from vision_toolbox_tpu.ops.short_attention import _admit_group, _bwd_vmem_bytes, _VMEM_BUDGET
+
+    assert _admit_group(1536, 197, 197, 64, 16) >= 4          # flat ViT-B blocks: tiny
+    assert _admit_group(128, 197, 197, 768, 2) == 2            # vit_b packed: unchanged
+    assert _admit_group(64, 197, 197, 1024, 2) == 1            # vit_l packed: shrinks
+    assert _admit_group(64, 257, 257, 1280, 2) == 0            # vit_h packed: flat fallback
+    # the flat fallback itself must fit for ViT-H heads
+    assert _admit_group(64 * 16, 257, 257, 80, 16) >= 1
+    # and the calibration point: the model must price vit_l G=2 over budget
+    assert _bwd_vmem_bytes(197, 197, 1024, 2) > _VMEM_BUDGET
+
+
+def test_packed_wide_model_falls_back_to_flat():
+    """ViT-H-class width through the packed entry point must still be exact
+    (routes through the flat kernel under the hood)."""
+    from vision_toolbox_tpu.ops import short_attention as sa
+
+    q, k, v = _qkv(2, 257, 20, 64, seed=4)  # ViT-H width/length: D=1280, T=257
+    assert sa._admit_group(2, 257, 257, 1280, 2) == 0  # forces the flat path
+    out = short_attention_packed(q, k, v, group=2)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(_ref(q, k, v)), atol=2e-6)

@@ -94,6 +94,45 @@ def _pick_group(bn: int, group: int) -> int:
     return g
 
 
+def _rup(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+# Scoped-VMEM stack budget per program. Mosaic's default scoped limit is
+# 16 MiB; we leave margin for the compiler's own temporaries. ViT-L's packed
+# backward at G=2 measured 19.71 MiB actual vs this model's 19.9 MiB — the
+# model is calibrated against that failure (v5e, 2026-08).
+_VMEM_BUDGET = 14 * 1024 * 1024
+
+
+def _bwd_vmem_bytes(t: int, s: int, d: int, g: int) -> int:
+    """Live-byte model of one backward program on a (G, T, D) block layout
+    (d = lane width of the block: N·H packed, or H flat).
+
+    Terms: the 7 bf16 in/out blocks double-buffered across grid steps; the
+    f32 casts of q/k/v/go for the group member being processed; the f32
+    dq/dk/dv accumulation buffers; and the (T, S) f32 score-chain
+    intermediates (logits/e/p/dp/ds) for one head.
+    """
+    tp, sp, dp = _rup(t, 8), _rup(s, 128), _rup(d, 128)
+    blocks = 7 * g * tp * dp * 2 * 2
+    copies = 4 * tp * dp * 4
+    accum = 3 * tp * dp * 4
+    scores = 5 * tp * sp * 4
+    return blocks + copies + accum + scores
+
+
+def _admit_group(bn: int, t: int, s: int, d: int, group: int) -> int:
+    """Largest divisor-of-bn group ≤ ``group`` whose backward program fits
+    the scoped-VMEM budget; 0 when even G=1 does not fit."""
+    g = _pick_group(bn, group)
+    while g >= 1:
+        if _bwd_vmem_bytes(t, s, d, g) <= _VMEM_BUDGET:
+            return g
+        g = _pick_group(bn, g - 1) if g > 1 else 0
+    return 0
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
 def _short_attention_flat(q, k, v, group: int, interpret: bool):
     out, _ = _short_attention_fwd(q, k, v, group, interpret)
@@ -165,6 +204,7 @@ def short_attention(
     S = k.shape[1]
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    group = max(1, _admit_group(B * N, T, S, H, group))
     qf = q.transpose(0, 2, 1, 3).reshape(B * N, T, H)
     kf = k.transpose(0, 2, 1, 3).reshape(B * N, S, H)
     vf = v.transpose(0, 2, 1, 3).reshape(B * N, S, H)
@@ -318,12 +358,19 @@ def short_attention_packed(
     S = k.shape[1]
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    # Wide models (ViT-L: D=1024) overflow the scoped-VMEM stack at the
+    # default group; shrink the group to fit, and when even G=1 does not fit
+    # (ViT-H-class D) take the flat per-head layout, whose narrow (G, T, H)
+    # blocks always fit within use_short's bounds.
+    g = _admit_group(B, T, S, N * H, group)
+    if g == 0:
+        return short_attention(q, k, v, interpret=interpret)
     out = _packed_attention(
         q.reshape(B, T, N * H),
         k.reshape(B, S, N * H),
         v.reshape(B, S, N * H),
         N,
-        group,
+        g,
         interpret,
     )
     return out.reshape(B, T, N, H)
