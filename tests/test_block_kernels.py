@@ -297,13 +297,15 @@ def test_dispatch_rules():
     try:
         assert bm.use_fused_mlp(768, 3072, 197, 0.0)
         assert ba.use_fused_attention(768, 12, 197, 0.0, True)
-        # ViT-L resident weights exceed the VMEM budget: routes through the
-        # hidden-split chain only once its TPU A/B lands (default off)
-        assert not bm.use_fused_mlp(1024, 4096, 197, 0.0)
-        bm._ALLOW_HIDDEN_SPLIT = True
+        # ViT-L/H route through the split chains — measured +31.1% train on
+        # chip (round 4), so the split flags default ON now
         assert bm.use_fused_mlp(1024, 4096, 197, 0.0)  # ViT-L: 2-call chain
         assert bm.use_fused_mlp(1280, 5120, 257, 0.0)  # ViT-H: 4-call chain
+        assert ba.use_fused_attention(1024, 16, 197, 0.0, True)  # head-split
+        bm._ALLOW_HIDDEN_SPLIT = ba._ALLOW_HEAD_SPLIT = False
+        assert not bm.use_fused_mlp(1024, 4096, 197, 0.0)
         assert not ba.use_fused_attention(1024, 16, 197, 0.0, True)
+        bm._ALLOW_HIDDEN_SPLIT = ba._ALLOW_HEAD_SPLIT = True
         # dropout, non-32-multiple width, long sequences stay on XLA
         assert not bm.use_fused_mlp(768, 3072, 197, 0.1)
         assert not bm.use_fused_mlp(100, 400, 197, 0.0)
@@ -314,12 +316,16 @@ def test_dispatch_rules():
         assert not ba.use_fused_attention(768, 12, 197, 0.0, False)
         # no feasible split plan at any supported ns -> gate off
         assert not bm.use_fused_mlp(4096, 15360, 197, 0.0)
-        # vit_b at 320px (T=401): inside the seq gate but the saved-probs
-        # block blows the per-program VMEM budget — must fall back to XLA
+        # vit_b at 320px (T=401): the single-call saved-probs block blows the
+        # per-program VMEM budget — admitted via the head-split chain now
+        # that the splits default ON; falls back to XLA when disallowed
+        assert ba.use_fused_attention(768, 12, 401, 0.0, True)
+        ba._ALLOW_HEAD_SPLIT = False
         assert not ba.use_fused_attention(768, 12, 401, 0.0, True)
+        ba._ALLOW_HEAD_SPLIT = True
     finally:
         bm._FORCE_ON = ba._FORCE_ON = False
-        bm._ALLOW_HIDDEN_SPLIT = False
+        bm._ALLOW_HIDDEN_SPLIT = ba._ALLOW_HEAD_SPLIT = True  # module defaults
 
 
 def test_production_train_step_with_fused_paths(force_on):
@@ -538,15 +544,16 @@ def test_fused_attn_head_split_matches_oracle(monkeypatch, ls, dp):
 def test_head_split_dispatch_rules():
     ba._FORCE_ON = True
     try:
-        # off by default pending the TPU A/B; on once the flag lands
+        # head-split chain ON by default since its chip A/B (+13.1% attn arm)
+        assert ba.use_fused_attention(1024, 16, 197, 0.0, True)  # ViT-L
+        ba._ALLOW_HEAD_SPLIT = False
         assert not ba.use_fused_attention(1024, 16, 197, 0.0, True)
         ba._ALLOW_HEAD_SPLIT = True
-        assert ba.use_fused_attention(1024, 16, 197, 0.0, True)  # ViT-L
         # ViT-H has no Mosaic-proven plan (alignment/budget) -> XLA fallback
         assert not ba.use_fused_attention(1280, 16, 257, 0.0, True)
     finally:
         ba._FORCE_ON = False
-        ba._ALLOW_HEAD_SPLIT = False
+        ba._ALLOW_HEAD_SPLIT = True  # module default
 
 
 # ---------- residual operand + Swin/ConvNeXt half-block dispatch ----------
