@@ -45,23 +45,34 @@ def _unroll2(img, s: int):
 
 
 def _partition_kernel(x_ref, out_ref, *, w: int, shift: int):
+    # Mosaic cannot shape-cast (w, w, C) -> (w*w, C) when w is not a sublane
+    # multiple (measured: "infer-vector-layout: unsupported shape cast" at
+    # w=7); instead each window ROW is written as a strided (w, C) slice of
+    # the flattened-token axis — token r*w+col of window (ih, iw) is image
+    # pixel (ih*w+r, iw*w+col), so rows r*w:(r+1)*w come from one image row.
     _, H, W, C = x_ref.shape
     nH, nW = H // w, W // w
     img = _roll2(x_ref[0], shift)
     for ih in range(nH):
+        band = img[ih * w:(ih + 1) * w]  # (w, W, C)
         for iw in range(nW):
-            out_ref[0, ih * nW + iw] = img[
-                ih * w:(ih + 1) * w, iw * w:(iw + 1) * w, :
-            ].reshape(w * w, C)
+            for r in range(w):
+                out_ref[0, ih * nW + iw, r * w:(r + 1) * w] = band[
+                    r, iw * w:(iw + 1) * w, :
+                ]
 
 
 def _unpartition_kernel(y_ref, out_ref, *, w: int, shift: int, nH: int, nW: int):
     _, _, _, C = y_ref.shape
     rows = []
     for ih in range(nH):
-        rows.append(jnp.concatenate(
-            [y_ref[0, ih * nW + iw].reshape(w, w, C) for iw in range(nW)], axis=1
-        ))
+        row_blocks = []
+        for iw in range(nW):
+            win = y_ref[0, ih * nW + iw]  # (w*w, C)
+            row_blocks.append(jnp.stack(
+                [win[r * w:(r + 1) * w] for r in range(w)], axis=0
+            ))  # (w, w, C) rebuilt by slices, not shape cast
+        rows.append(jnp.concatenate(row_blocks, axis=1))
     out_ref[0] = _unroll2(jnp.concatenate(rows, axis=0), shift)
 
 
@@ -131,8 +142,13 @@ def _unpart_bwd(w, shift, H, W, interpret, _, dx):
 shifted_window_unpartition.defvjp(_unpart_fwd, _unpart_bwd)
 
 
-# OFF until an in-model A/B records a win (scripts/round4_tpu_queue.sh);
-# tests force it on to exercise the module dispatch in interpret mode.
+# OFF: measured NEUTRAL in-model (round 4, v5e, scripts/measure_swin_relayout
+# .py): swin_t train 122.21 -> 122.33 ms (-0.1%), infer 43.61 -> 44.08 ms.
+# The fused roll+partition saves two of XLA's three relayout copies, but the
+# per-window-row strided writes (w=7 misaligned to the 8-sublane tile ->
+# read-modify-write) cost that saving back; relayouts are only ~3% of step
+# bytes (analyze_swin_bytes.py), so there was never more than that to win.
+# Kernels kept exact + gradient-tested as the record.
 _ENABLED = False
 _FORCE_ON = False
 
