@@ -57,19 +57,23 @@ def bench_model(name: str, batch_sizes, img: int, steps: int, reps: int,
         # compile). The accumulator consumes every call's output — an unused
         # intermediate would be dead-code-eliminated and the "chain" would
         # silently measure one call (observed: cspdarknet53 "65k img/s").
+        # weights ride as jit ARGUMENTS (fn.call + fn.variables): closing
+        # over them would inline every parameter byte into the chain's
+        # compile payload (vit_b measured HTTP 413 on the remote-compile
+        # service with weights-baked artifacts)
         @jax.jit
-        def chain(x):
+        def chain(v, x):
             def body(i, acc):
-                out = fn(x + i.astype(jnp.bfloat16) * jnp.bfloat16(1e-6))
+                out = fn.call(v, x + i.astype(jnp.bfloat16) * jnp.bfloat16(1e-6))
                 return acc + jnp.sum(out.astype(jnp.float32))
             return jax.lax.fori_loop(0, steps, body, jnp.float32(0))
 
         x = jax.random.uniform(jax.random.PRNGKey(0), (bs, img, img, 3), jnp.bfloat16)
-        float(chain(x))  # warm + fence (tunnel readback)
+        float(chain(fn.variables, x))  # warm + fence (tunnel readback)
         best = float("inf")
         for _ in range(reps):
             t0 = time.perf_counter()
-            float(chain(x))
+            float(chain(fn.variables, x))
             best = min(best, (time.perf_counter() - t0) / steps)
 
         # naive single-call latency (includes dispatch + readback)
