@@ -101,8 +101,10 @@ def bench_model(name: str, batch_sizes, img: int, steps: int, reps: int,
 
             qtree = quantize_params(variables["params"])
 
+            # weights as jit ARGUMENTS (same HTTP-413 trap as the bf16 chain:
+            # closing over them bakes every byte into the compile payload)
             @jax.jit
-            def chain8(x):
+            def chain8(qtree, variables, x):
                 def body(i, acc):
                     out = quantized_apply(
                         model, qtree, variables,
@@ -111,11 +113,11 @@ def bench_model(name: str, batch_sizes, img: int, steps: int, reps: int,
                     return acc + jnp.sum(out.astype(jnp.float32))
                 return jax.lax.fori_loop(0, steps, body, jnp.float32(0))
 
-            float(chain8(x))
+            float(chain8(qtree, variables, x))
             best8 = float("inf")
             for _ in range(reps):
                 t0 = time.perf_counter()
-                float(chain8(x))
+                float(chain8(qtree, variables, x))
                 best8 = min(best8, (time.perf_counter() - t0) / steps)
             row["int8_ms_per_batch"] = round(best8 * 1e3, 3)
             row["int8_vs_bf16"] = round(best / best8, 3)

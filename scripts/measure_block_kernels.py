@@ -41,6 +41,8 @@ MODELS = {
     "deit_b_16": ({"img_size": 224}, 224, 128),
     # MLP half-block only (windowed attention / dwconv stay on XLA)
     "swin_t": ({"img_size": 224}, 224, 128),
+    # channel-mixing half only (token mixing's LN axis != MLP axis)
+    "mixer_b_16": ({"img_size": 224}, 224, 128),
     "convnext_t": ({}, 224, 128),
     "cait_xxs_24": ({"img_size": 224}, 224, 128),
 }
