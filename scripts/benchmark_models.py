@@ -85,7 +85,12 @@ def bench_model(name, kwargs, img, train_bs, infer_bs, steps=10):
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--out", default=None)
+    parser.add_argument("--models", default=None,
+                        help="comma-separated subset (rerun rows in a fresh "
+                             "process — an OOM poisons the client for every "
+                             "later model in the same run)")
     args = parser.parse_args()
+    selected = set(args.models.split(",")) if args.models else None
 
     lines = [
         "# BENCHMARKS — 1× TPU v5e, bf16, synthetic data",
@@ -97,6 +102,8 @@ def main():
         "|---|---|---|---|---|",
     ]
     for name, kwargs, img, tb, ib in MODELS:
+        if selected is not None and name not in selected:
+            continue
         try:
             params, train_ips, infer_ips = bench_model(name, kwargs, img, tb, ib)
             row = f"| {name} | {params:.1f} | {img}²·bs{tb} | {train_ips:,.0f} | {infer_ips:,.0f} |"
