@@ -265,16 +265,14 @@ def run_config(spec: str, model_name: str, batch: int, img: int, dtype, do_time:
     if model_name.startswith(("vit_", "deit", "cait", "swin", "mlp_mixer")):
         backbone_kwargs["img_size"] = img  # size-dependent PE/masks
     if mode == "sp":
-        if not model_name.startswith(("vit_", "deit3_")):
-            # DeiT's own __call__ ignores cls_token/pool_type and keeps T odd
-            raise SystemExit(f"{spec}: sequence parallelism needs a plain-ViT "
-                             f"--model (vit_* | deit3_*)")
+        if not model_name.startswith(("vit_", "deit")):
+            raise SystemExit(f"{spec}: sequence parallelism needs a ViT-family "
+                             f"--model (vit_* | deit_* | deit3_*)")
         from jax.sharding import NamedSharding, PartitionSpec as P
 
+        # the default cls-token config shards too: _blocks pads T to a seq
+        # multiple with masked zero tokens (models/vit.py)
         backbone_kwargs["token_sharding"] = NamedSharding(mesh, P("data", "seq"))
-        # the cls token makes T odd (un-shardable); sp runs the gap variant
-        backbone_kwargs["cls_token"] = False
-        backbone_kwargs["pool_type"] = "gap"
     model = ImageClassifier(
         backbone=create_backbone(model_name, dtype=dtype, **backbone_kwargs),
         num_classes=1000, dtype=dtype,

@@ -90,10 +90,23 @@ def main():
                              "process — an OOM poisons the client for every "
                              "later model in the same run)")
     args = parser.parse_args()
-    selected = set(args.models.split(",")) if args.models else None
+    selected = None
+    if args.models:
+        selected = {s.strip() for s in args.models.split(",") if s.strip()}
+        known = {name for name, *_ in MODELS}
+        unknown = selected - known
+        if unknown:
+            parser.error(f"unknown --models entries {sorted(unknown)}; "
+                         f"choose from {sorted(known)}")
+        if args.out:
+            # a subset run writes a partial table — never silently clobber a
+            # complete one
+            print(f"NOTE: --models subset run; marking {args.out} as partial")
 
     lines = [
         "# BENCHMARKS — 1× TPU v5e, bf16, synthetic data",
+        *([f"", f"**PARTIAL: --models subset run ({args.models})** — do not "
+           f"overwrite a complete table with this file."] if selected else []),
         "",
         "Production train step (device-side CutMix/MixUp, label-smoothed CE,",
         "SGD) and inference forward; host-readback fenced timing.",

@@ -344,18 +344,28 @@ def test_vit_pipeline_train_step_stacked_state():
 # ------------------------------------------------- sequence parallelism (sp)
 
 
-def test_token_sharding_is_semantics_free():
+@pytest.mark.parametrize(
+    "name,kw",
+    [
+        ("vit_ti_16", dict(cls_token=False, pool_type="gap")),  # T=4 divides
+        ("vit_ti_16", dict()),  # default cls_token: T=5 → padded to 8
+        ("deit_ti_16", dict()),  # cls+dist tokens: T=6 → padded to 8
+    ],
+)
+def test_token_sharding_is_semantics_free(name, kw):
     """ViT.token_sharding only re-lays out the token axis — outputs must be
     identical (up to f32 reassociation) to the unconstrained model, and the
-    param tree must not change (the hook adds no params)."""
+    param tree must not change (the hook adds no params). When T does not
+    divide the seq axis, _blocks pads with masked zero tokens — still exact
+    (the -1e9 key mask underflows to softmax weight 0.0)."""
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     mesh = create_mesh(("data", "seq"), (2, 4))
-    kw = dict(img_size=32, cls_token=False, pool_type="gap")
+    kw = dict(img_size=32, **kw)
     vit_sp = create_backbone(
-        "vit_ti_16", token_sharding=NamedSharding(mesh, P("data", "seq")), **kw
+        name, token_sharding=NamedSharding(mesh, P("data", "seq")), **kw
     )
-    vit = create_backbone("vit_ti_16", **kw)
+    vit = create_backbone(name, **kw)
     v = vit.init_variables(0, 32)
     v_sp = vit_sp.init_variables(0, 32)
     pa = jax.tree_util.tree_leaves_with_path(v)
@@ -366,6 +376,24 @@ def test_token_sharding_is_semantics_free():
     want = vit.apply(v, x)
     got = jax.jit(lambda v, x: vit_sp.apply(v, x))(v, x)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5)
+
+
+def test_token_sharding_cls_token_inserts_collectives():
+    """The padded cls-token sp path must actually shard: the compiled forward
+    has to contain an all-gather (k/v around attention), not silently decay
+    to replication (the round-4 warn-and-skip failure mode)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    mesh = create_mesh(("data", "seq"), (2, 4))
+    vit_sp = create_backbone(
+        "vit_ti_16", img_size=32,
+        token_sharding=NamedSharding(mesh, P("data", "seq")),
+    )
+    v = vit_sp.init_variables(0, 32)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (8, 32, 32, 3))
+    compiled = jax.jit(lambda v, x: vit_sp.apply(v, x)).lower(v, x).compile()
+    hlo = compiled.as_text()
+    assert "all-gather" in hlo, "sp produced no all-gather — constraint decayed"
 
 
 def test_pipeline_remat_matches():

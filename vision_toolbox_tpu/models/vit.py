@@ -42,9 +42,25 @@ class ViT(nn.Module):
     # activations (e.g. NamedSharding(mesh, P("data", "seq"))). Re-asserted
     # after the embed and before every block so GSPMD partitions the
     # positionwise work (LN/MLP/projections) over the token axis and inserts
-    # k/v all-gathers only around the attention contractions. Beyond-parity
-    # (the reference is DP-only); exercised by scripts/bench_scaling.py spN.
+    # k/v all-gathers only around the attention contractions. When T does not
+    # divide the seq axis (cls/dist tokens make T odd), ``_blocks`` pads the
+    # sequence with masked zero tokens — the default cls-token ViT shards
+    # too. Beyond-parity (the reference is DP-only); exercised by
+    # scripts/bench_scaling.py spN and the dryrun_multichip sp leg.
     token_sharding: Any = None
+
+    def _token_axis_size(self) -> int:
+        """Mesh extent of the token (dim-1) axis of ``token_sharding``."""
+        if self.token_sharding is None:
+            return 1
+        spec = self.token_sharding.spec
+        if len(spec) < 2 or spec[1] is None:
+            return 1
+        axes = spec[1] if isinstance(spec[1], tuple) else (spec[1],)
+        size = 1
+        for a in axes:
+            size *= self.token_sharding.mesh.shape[a]
+        return size
 
     def _constrain(self, x: jax.Array) -> jax.Array:
         if self.token_sharding is None:
@@ -52,14 +68,15 @@ class ViT(nn.Module):
         try:
             self.token_sharding.shard_shape(x.shape)
         except Exception:
-            if x.shape[0] > 1:  # the batch-1 init dummy skips silently
+            # T always divides (``_blocks`` pads), so only the batch dim can
+            # fail — the batch-1 init dummy skips silently.
+            if x.shape[0] > 1:
                 import warnings
 
                 warnings.warn(
                     f"token_sharding {self.token_sharding.spec} does not divide "
-                    f"activations {x.shape} — constraint skipped (cls_token makes "
-                    f"T odd; use cls_token=False/pool_type='gap' for sequence "
-                    f"parallelism)", stacklevel=2,
+                    f"activations {x.shape} — constraint skipped (batch not a "
+                    f"multiple of the data axis?)", stacklevel=2,
                 )
             return x
         return jax.lax.with_sharding_constraint(x, self.token_sharding)
@@ -79,14 +96,33 @@ class ViT(nn.Module):
         return x + pe.astype(x.dtype)
 
     def _blocks(self, x: jax.Array, train: bool) -> jax.Array:
+        # Sequence parallelism with cls/dist tokens: T (e.g. 197) rarely
+        # divides the seq axis, so pad with zero tokens + a -1e9 key mask.
+        # Real queries give pad keys softmax weight exp(s - 1e9) == 0.0 in
+        # float — numerics are exactly the unpadded model's (pinned by
+        # tests/test_pipeline.py::test_token_sharding_cls_token); pad rows
+        # compute garbage that stays finite and is sliced off before pooling.
+        # (With attention/MLP dropout > 0 the padded shape draws a different
+        # rng stream — sp is a scale-out feature, dropout defaults to 0.)
+        T = x.shape[1]
+        pad = -T % self._token_axis_size()
+        attn_bias = None
+        if pad:
+            x = jnp.pad(x, ((0, 0), (0, pad), (0, 0)))
+            attn_bias = jnp.where(
+                jnp.arange(T + pad) < T, 0.0, -1e9
+            )[None, None, None, :]
+        # GSPMD partitions einsums/matmuls natively but can only replicate an
+        # opaque pallas_call — keep blocks on XLA when activations are sharded.
+        unfused = self.token_sharding is not None
         for i in range(self.depth):
             x = self._constrain(x)
             x = ViTBlock(
                 self.d_model, self.n_heads, self.bias, self.mlp_ratio, self.dropout,
                 self.layer_scale_init, self.stochastic_depth, self.norm_eps,
                 dtype=self.dtype, name=f"block_{i}",
-            )(x, train=train)
-        return x
+            )(x, train=train, attn_bias=attn_bias, force_unfused=unfused)
+        return x[:, :T] if pad else x
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:

@@ -272,11 +272,25 @@ class ViTBlock(nn.Module):
     dtype: Dtype | None = None
 
     @nn.compact
-    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+    def __call__(
+        self,
+        x: jax.Array,
+        train: bool = False,
+        *,
+        attn_bias: jax.Array | None = None,
+        force_unfused: bool = False,
+    ) -> jax.Array:
+        """``attn_bias`` broadcasts against (B, N, T, S) — used by the
+        sequence-parallel pad-token mask (models/vit.py). ``force_unfused``
+        keeps the whole block on XLA einsums/matmuls (GSPMD can partition
+        those natively; an opaque pallas_call it can only replicate), set
+        when the activations carry a sharding constraint."""
         from ..ops.block_attention import fused_attention_block, use_fused_attention
 
         if (
             self.attention is None
+            and attn_bias is None
+            and not force_unfused
             and x.ndim == 3
             and use_fused_attention(self.d_model, self.n_heads, x.shape[1], self.dropout, self.bias)
         ):
@@ -312,7 +326,10 @@ class ViTBlock(nn.Module):
                     dtype=self.dtype, name=name,
                 )
             y = nn.LayerNorm(self.norm_eps, dtype=self.dtype, name="mha_norm")(x)
-            y = attn_cls(name="mha")(y, train=train)
+            # custom attention modules (e.g. CaiT class attention) may not
+            # accept attn_bias — only thread it through when present
+            akw = {} if attn_bias is None else {"attn_bias": attn_bias}
+            y = attn_cls(name="mha")(y, train=train, **akw)
             if self.layer_scale_init is not None:
                 y = LayerScale(self.layer_scale_init, name="mha_scale")(y)
             y = StochasticDepth(self.stochastic_depth, name="mha_droppath")(y, train=train)
@@ -321,8 +338,9 @@ class ViTBlock(nn.Module):
         hidden = int(self.d_model * self.mlp_ratio)
         from ..ops.block_mlp import fused_mlp_block, use_fused_mlp
 
-        if x.ndim == 3 and use_fused_mlp(self.d_model, hidden, x.shape[1], self.dropout,
-                                         has_ls=self.layer_scale_init is not None):
+        if (x.ndim == 3 and not force_unfused
+                and use_fused_mlp(self.d_model, hidden, x.shape[1], self.dropout,
+                                  has_ls=self.layer_scale_init is not None)):
             # Fused LN→W1→GELU→W2→LayerScale→drop-path→residual Pallas
             # program (ops/block_mlp.py); param tree identical to the
             # unfused branch below.

@@ -43,6 +43,10 @@ class DataConfig:
     trivial_augment: bool = True
     synthetic: bool = False  # random data for smoke runs/benchmarks
     native_decode: bool = False  # C++ libjpeg decode path (native/decoder.cpp)
+    # pre-decoded raw-crop shards (data/raw_shards.py, scripts/make_raw_shards.py):
+    # train_dir/val_dir point at .vtraw shard dirs; host "decode" is a memmap
+    # copy + random-window crop — the few-core-host escape hatch.
+    raw_shards: bool = False
     # data echoing (arxiv 1907.05550): run N optimizer steps per host batch —
     # the device-side augmentation re-randomizes each step, so echoes see
     # different TrivialAugment/RandomErasing/CutMix draws. Use when the input
