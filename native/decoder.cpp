@@ -180,4 +180,55 @@ int vtt_decode_crop_resize_batch(int n, const uint8_t** datas, const size_t* len
   return failures.load();
 }
 
+// Batched window-crop + horizontal flip over PRE-DECODED uint8 RGB images
+// (the raw-crop shard path, data/raw_shards.py). srcs[i] points at image i's
+// (src_h, src_w, 3) buffer; the output window is rows [y0, y0+out_h) x cols
+// [x0, x0+out_w). No resize — shards store a fixed canvas and training crops
+// a window (the host-side analogue of the reference's RandomCrop after its
+// offline resize, data.py:44-52). NumPy's negative-stride uint8x3 copy runs
+// ~75x slower than memcpy (measured: 285 ms vs 3.8 ms per 256x176x176x3
+// batch) — this loop is the reason the raw loader hits memory bandwidth.
+void vtt_crop_flip_batch(int n, const uint8_t** srcs, int src_w, const int* y0,
+                         const int* x0, const uint8_t* flips, int out_w,
+                         int out_h, uint8_t* out, int n_threads) {
+  const size_t src_row = static_cast<size_t>(src_w) * 3;
+  const size_t dst_row = static_cast<size_t>(out_w) * 3;
+  const size_t dst_img = dst_row * out_h;
+  std::atomic<int> next(0);
+  auto worker = [&]() {
+    for (;;) {
+      int i = next.fetch_add(1);
+      if (i >= n) return;
+      const uint8_t* src = srcs[i] + static_cast<size_t>(y0[i]) * src_row +
+                           static_cast<size_t>(x0[i]) * 3;
+      uint8_t* dst = out + dst_img * i;
+      if (flips && flips[i]) {
+        for (int oy = 0; oy < out_h; ++oy) {
+          const uint8_t* s = src + static_cast<size_t>(oy) * src_row;
+          uint8_t* d = dst + static_cast<size_t>(oy) * dst_row;
+          for (int ox = 0; ox < out_w; ++ox) {
+            const uint8_t* p = s + static_cast<size_t>(out_w - 1 - ox) * 3;
+            d[3 * ox] = p[0];
+            d[3 * ox + 1] = p[1];
+            d[3 * ox + 2] = p[2];
+          }
+        }
+      } else {
+        for (int oy = 0; oy < out_h; ++oy) {
+          std::memcpy(dst + static_cast<size_t>(oy) * dst_row,
+                      src + static_cast<size_t>(oy) * src_row, dst_row);
+        }
+      }
+    }
+  };
+  n_threads = std::max(1, std::min(n_threads, n));
+  if (n_threads == 1) {
+    worker();
+    return;
+  }
+  std::vector<std::thread> threads;
+  for (int t = 0; t < n_threads; ++t) threads.emplace_back(worker);
+  for (auto& t : threads) t.join();
+}
+
 }  // extern "C"

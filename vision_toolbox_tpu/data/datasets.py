@@ -32,6 +32,14 @@ class Sample:
     label: int
 
 
+@dataclass
+class RawSample:
+    """Undecoded image bytes — for loaders that decode natively (data/native.py)."""
+
+    data: bytes
+    label: int
+
+
 class ImageFolder:
     """class-per-subdir dataset; indexable."""
 
@@ -73,17 +81,23 @@ def iter_webdataset(
     shuffle_buffer: int = 0,
     seed: int = 0,
     image_keys: tuple[str, ...] = ("jpg", "jpeg", "png"),
-) -> Iterator[Sample]:
+    decode: bool = True,
+) -> Iterator[Sample | RawSample]:
     """Stream (image, cls) samples from .tar shards (reference shard layout).
 
     shard-level shuffle + a bounded sample shuffle buffer mirror the reference
-    wds pipeline (data.py:32-38: shardshuffle + .shuffle(1000))."""
+    wds pipeline (data.py:32-38: shardshuffle + .shuffle(1000)).
+
+    ``decode=False`` yields ``RawSample`` (undecoded bytes) so a downstream
+    native decoder (data/native.py decode_batch) can do decode+crop+resize in
+    its C++ thread pool — PIL decode is the wds bottleneck on a few-core host
+    (measured 486 vs 1,026 img/s, artifacts/decode_scaling.json)."""
     rng = random.Random(seed)
     shards = list(shards)
     if shuffle_shards:
         rng.shuffle(shards)
 
-    def raw_iter() -> Iterator[Sample]:
+    def raw_iter() -> Iterator[Sample | RawSample]:
         for shard in shards:
             with tarfile.open(shard, "r") as tf:
                 current_key = None
@@ -95,14 +109,14 @@ def iter_webdataset(
                     ext = ext.lstrip(".").lower()
                     if base != current_key:
                         if current_key is not None:
-                            s = _assemble(parts, image_keys)
+                            s = _assemble(parts, image_keys, decode)
                             if s is not None:
                                 yield s
                         current_key = base
                         parts = {}
                     parts[ext] = tf.extractfile(member).read()
                 if current_key is not None:
-                    s = _assemble(parts, image_keys)
+                    s = _assemble(parts, image_keys, decode)
                     if s is not None:
                         yield s
 
@@ -110,7 +124,7 @@ def iter_webdataset(
         yield from raw_iter()
         return
 
-    buf: list[Sample] = []
+    buf: list[Sample | RawSample] = []
     for sample in raw_iter():
         if len(buf) < shuffle_buffer:
             buf.append(sample)
@@ -122,7 +136,9 @@ def iter_webdataset(
     yield from buf
 
 
-def _assemble(parts: dict[str, bytes], image_keys: tuple[str, ...]) -> Sample | None:
+def _assemble(
+    parts: dict[str, bytes], image_keys: tuple[str, ...], decode: bool = True
+) -> Sample | RawSample | None:
     img_bytes = None
     for k in image_keys:
         if k in parts:
@@ -130,5 +146,8 @@ def _assemble(parts: dict[str, bytes], image_keys: tuple[str, ...]) -> Sample | 
             break
     if img_bytes is None or "cls" not in parts:
         return None
+    label = int(parts["cls"].decode().strip())
+    if not decode:
+        return RawSample(img_bytes, label)
     img = Image.open(io.BytesIO(img_bytes)).convert("RGB")
-    return Sample(img, int(parts["cls"].decode().strip()))
+    return Sample(img, label)

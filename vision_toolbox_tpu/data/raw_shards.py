@@ -34,7 +34,6 @@ from __future__ import annotations
 
 import json
 import os
-import random
 import struct
 from typing import Iterator
 
@@ -59,9 +58,15 @@ def write_shard(path: str, images: np.ndarray, labels: np.ndarray) -> None:
 
 
 class RawShard:
-    """One memmapped shard: ``.labels`` i32 (n,), ``.images`` uint8 view."""
+    """One memmapped shard: ``.labels`` i32 (n,), ``.images`` uint8 view.
 
-    def __init__(self, path: str):
+    ``preload=True`` reads the shard into RAM in one sequential pass —
+    random-access training then never pays cold memmap page faults (a random
+    first epoch over a cold shard is seek-bound; sequential read is disk
+    bandwidth). Use when the corpus fits in memory.
+    """
+
+    def __init__(self, path: str, preload: bool = False):
         self.path = path
         with open(path, "rb") as f:
             head = f.read(_HEADER.size)
@@ -73,6 +78,12 @@ class RawShard:
         self.labels = np.memmap(path, np.int32, "r", offset=off, shape=(n,))
         off += 4 * n
         self.images = np.memmap(path, np.uint8, "r", offset=off, shape=(n, h, w, c))
+        if preload:
+            # np.array(copy=True), NOT asarray — asarray returns a view on the
+            # memmap (measured: the "preloaded" loader then runs at disk
+            # random-read speed, ~160 ms/batch vs ~8 ms from RAM)
+            self.labels = np.array(self.labels, copy=True)
+            self.images = np.array(self.images, copy=True)
 
     def __len__(self) -> int:
         return self.n
@@ -81,20 +92,26 @@ class RawShard:
 class RawShardDataset:
     """Directory of ``.vtraw`` shards, indexable as one flat dataset."""
 
-    def __init__(self, root: str):
+    def __init__(self, root: str, preload: bool = False):
         self.root = root
         paths = sorted(
             os.path.join(root, f) for f in os.listdir(root) if f.endswith(".vtraw")
         )
         if not paths:
             raise FileNotFoundError(f"no .vtraw shards under {root}")
-        self.shards = [RawShard(p) for p in paths]
+        self.shards = [RawShard(p, preload=preload) for p in paths]
         g = self.shards[0]
         for s in self.shards:
             if (s.h, s.w, s.c) != (g.h, g.w, g.c):
                 raise ValueError(f"{s.path}: geometry {(s.h, s.w, s.c)} != {(g.h, g.w, g.c)}")
         self.h, self.w, self.c = g.h, g.w, g.c
         self._starts = np.cumsum([0] + [len(s) for s in self.shards])
+        # flat label gather + per-shard image base addresses (one vectorized
+        # lookup per batch instead of a python loop per sample)
+        self._labels_flat = np.concatenate([np.asarray(s.labels) for s in self.shards])
+        self._base_addrs = np.array(
+            [s.images.ctypes.data for s in self.shards], np.uint64
+        )
         meta_path = os.path.join(root, "meta.json")
         self.meta = json.load(open(meta_path)) if os.path.exists(meta_path) else {}
 
@@ -147,37 +164,58 @@ class RawShardLoader:
         return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
 
     def __iter__(self) -> Iterator[tuple[np.ndarray, np.ndarray]]:
-        rng = random.Random((self.seed, self.epoch).__hash__())
+        rng = np.random.default_rng([self.seed, self.epoch])
         self.epoch += 1
         order = np.arange(self._lo, self._hi)
         if self.training:
-            np.random.default_rng(rng.getrandbits(64)).shuffle(order)
+            rng.shuffle(order)
         S = self.crop_size
-        H, W = self.dataset.h, self.dataset.w
+        ds = self.dataset
+        H, W, C = ds.h, ds.w, ds.c
         cy, cx = (H - S) // 2, (W - S) // 2
+        img_bytes = np.uint64(H * W * C)
+        use_native = C == 3 and _crop_flip_native()
         for start in range(0, len(order), self.batch_size):
             idxs = order[start : start + self.batch_size]
-            if self.drop_last and len(idxs) < self.batch_size:
+            n = len(idxs)
+            if self.drop_last and n < self.batch_size:
                 break
-            out = np.empty((len(idxs), S, S, self.dataset.c), np.uint8)
-            labels = np.empty((len(idxs),), np.int32)
+            # vectorized flat→(shard, local) resolution for the whole batch
+            sid = np.searchsorted(ds._starts, idxs, "right") - 1
+            local = (idxs - ds._starts[sid]).astype(np.uint64)
+            labels = ds._labels_flat[idxs].astype(np.int32, copy=True)
+            out = np.empty((n, S, S, C), np.uint8)
             if self.training:
-                ys = np.frombuffer(
-                    np.random.default_rng(rng.getrandbits(64)).bytes(2 * len(idxs)),
-                    np.uint8,
-                ).astype(np.int64)
-                # uniform window corners + flip bits from one cheap draw
-                y0 = ys[: len(idxs)] % (H - S + 1)
-                x0 = ys[len(idxs) :] % (W - S + 1)
-                flips = np.frombuffer(
-                    np.random.default_rng(rng.getrandbits(64)).bytes(len(idxs)), np.uint8
-                ) & 1
-            for j, i in enumerate(idxs):
-                shard, k = self.dataset.locate(int(i))
-                labels[j] = shard.labels[k]
-                if self.training:
-                    win = shard.images[k, y0[j] : y0[j] + S, x0[j] : x0[j] + S]
-                    out[j] = win[:, ::-1] if flips[j] else win
-                else:
-                    out[j] = shard.images[k, cy : cy + S, cx : cx + S]
+                y0 = rng.integers(0, H - S + 1, n).astype(np.int32)
+                x0 = rng.integers(0, W - S + 1, n).astype(np.int32)
+                flips = rng.integers(0, 2, n).astype(np.uint8)
+            else:
+                y0 = np.full((n,), cy, np.int32)
+                x0 = np.full((n,), cx, np.int32)
+                flips = np.zeros((n,), np.uint8)
+            if use_native:
+                # one native call: row memcpys (no flip) / 3-byte pixel
+                # reversal (flip). NumPy's negative-stride uint8x3 copy is
+                # ~75x slower than memcpy — the python fallback below pays it.
+                from .native import crop_flip_batch
+
+                src_ptrs = ds._base_addrs[sid] + local * img_bytes
+                crop_flip_batch(src_ptrs, W, y0, x0, flips, S, out)
+            else:
+                shards = ds.shards
+                for j in range(n):
+                    out[j] = shards[sid[j]].images[
+                        local[j], y0[j] : y0[j] + S, x0[j] : x0[j] + S
+                    ]
+                for j in np.nonzero(flips)[0]:
+                    out[j] = out[j, :, ::-1]
             yield out, labels
+
+
+def _crop_flip_native() -> bool:
+    try:
+        from .native import native_available
+
+        return native_available()
+    except Exception:
+        return False

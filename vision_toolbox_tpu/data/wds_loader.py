@@ -13,6 +13,14 @@ a single assembler drains into batches — the TPU-host analogue of the
 reference's ``num_workers: 8`` DataLoader processes (data.py:68-77). The
 epoch-length and exactly-once contracts are preserved: every sample of every
 shard is yielded once per cycle, and ``num_batches`` still bounds the epoch.
+
+``native_crop_size`` switches the train path to the C++ decoder
+(data/native.py): streams carry UNDECODED jpeg bytes out of the tars, and
+batch assembly samples torchvision-parity RandomResizedCrop boxes + flips,
+then decodes the whole batch in the native thread pool (DCT-scaled libjpeg
+decode + crop + bilinear resize). PIL decode is the wds hot cost on a
+few-core host (486 vs 1,026 img/s native, artifacts/decode_scaling.json);
+this mode replaces it the same way NativeJPEGLoader does for ImageFolder.
 """
 
 from __future__ import annotations
@@ -32,12 +40,14 @@ class WebDatasetLoader:
         self,
         shards: list[str],
         batch_size: int,
-        transform: Callable,  # (rng, PIL.Image) -> HWC array
+        transform: Callable | None,  # (rng, PIL.Image) -> HWC array
         training: bool = True,
         num_batches: int | None = None,
         seed: int = 0,
         per_host: bool = True,
         num_streams: int = 1,
+        native_crop_size: int | None = None,
+        decode_threads: int = 8,
     ):
         self.shards = shard_for_host(shards) if per_host else list(shards)
         self.batch_size = batch_size
@@ -46,7 +56,18 @@ class WebDatasetLoader:
         self.num_batches = num_batches
         self.seed = seed
         self.num_streams = max(1, min(num_streams, len(self.shards) or 1))
+        self.native_crop_size = native_crop_size
+        self.decode_threads = decode_threads
         self.epoch = 0
+        if native_crop_size is not None:
+            if not training:
+                raise ValueError("native_crop_size is a train-path mode (RRC + "
+                                 "flip); keep the PIL transform for val parity")
+            from .native import native_available
+
+            if not native_available():
+                raise RuntimeError("native_crop_size set but native/libvttdata.so "
+                                   "is unavailable (run `make -C native`)")
 
     def __len__(self) -> int:
         if self.num_batches is None:
@@ -58,16 +79,24 @@ class WebDatasetLoader:
         self.epoch += 1
         rng = random.Random(epoch_seed)
 
+        native = self.native_crop_size is not None
+
         def transformed_samples(cycle: int):
-            """One stream (num_streams == 1): decode + transform inline."""
+            """One stream (num_streams == 1): decode + transform inline
+            (native mode: pass undecoded bytes through — the batch assembler
+            decodes in the C++ pool)."""
             sample_iter = iter_webdataset(
                 self.shards,
                 shuffle_shards=self.training,
                 shuffle_buffer=1000 if self.training else 0,
                 seed=epoch_seed + cycle,
+                decode=not native,
             )
             for sample in sample_iter:
-                yield self.transform(rng, sample.image), sample.label
+                if native:
+                    yield sample.data, sample.label
+                else:
+                    yield self.transform(rng, sample.image), sample.label
 
         def parallel_samples(cycle: int):
             """num_streams parallel tar readers + decoders → one bounded queue.
@@ -103,8 +132,14 @@ class WebDatasetLoader:
                         shuffle_shards=False,  # already shuffled + dealt above
                         shuffle_buffer=1000 // len(groups) if self.training else 0,
                         seed=epoch_seed + cycle + idx,
+                        decode=not native,
                     ):
-                        if not put((self.transform(srng, sample.image), sample.label)):
+                        item = (
+                            (sample.data, sample.label)
+                            if native
+                            else (self.transform(srng, sample.image), sample.label)
+                        )
+                        if not put(item):
                             return
                 except BaseException as exc:  # surface corrupt-shard/decode errors
                     put((_SENTINEL, exc))
@@ -145,6 +180,24 @@ class WebDatasetLoader:
                 for t in threads:
                     t.join(timeout=5.0)
 
+        def decode_native(jpegs: list[bytes], labels: list[int]):
+            """RRC boxes + flips on the host rng, decode+crop+resize in the
+            C++ thread pool — same distribution as NativeJPEGLoader."""
+            from .native import decode_batch, jpeg_size, sample_rrc_box
+
+            n = len(jpegs)
+            sizes = np.empty((n, 2), np.int32)
+            boxes = np.empty((n, 4), np.int32)
+            flips = np.empty((n,), np.uint8)
+            for j, data in enumerate(jpegs):
+                W, H = jpeg_size(data)
+                sizes[j] = (W, H)
+                boxes[j] = sample_rrc_box(rng, W, H)
+                flips[j] = 1 if rng.random() < 0.5 else 0
+            out = decode_batch(jpegs, boxes, sizes, flips,
+                               self.native_crop_size, self.decode_threads)
+            return out, np.asarray(labels, np.int32)
+
         def batches(cycle: int = 0):
             source = parallel_samples if self.num_streams > 1 else transformed_samples
             images, labels = [], []
@@ -152,7 +205,10 @@ class WebDatasetLoader:
                 images.append(image)
                 labels.append(label)
                 if len(images) == self.batch_size:
-                    yield np.stack(images), np.asarray(labels, np.int32)
+                    if native:
+                        yield decode_native(images, labels)
+                    else:
+                        yield np.stack(images), np.asarray(labels, np.int32)
                     images, labels = [], []
             if images and not self.training:
                 yield np.stack(images), np.asarray(labels, np.int32)

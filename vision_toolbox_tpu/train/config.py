@@ -47,6 +47,9 @@ class DataConfig:
     # train_dir/val_dir point at .vtraw shard dirs; host "decode" is a memmap
     # copy + random-window crop — the few-core-host escape hatch.
     raw_shards: bool = False
+    # read whole shards into RAM at startup (one sequential pass) instead of
+    # paying cold random memmap faults in epoch 0; use when corpus < RAM.
+    raw_preload: bool = True
     # data echoing (arxiv 1907.05550): run N optimizer steps per host batch —
     # the device-side augmentation re-randomizes each step, so echoes see
     # different TrivialAugment/RandomErasing/CutMix draws. Use when the input

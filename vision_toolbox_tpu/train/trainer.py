@@ -301,14 +301,14 @@ class Trainer:
         if cfg.data.raw_shards:
             from ..data.raw_shards import RawShardDataset, RawShardLoader
 
-            train_ds = RawShardDataset(cfg.data.train_dir)
+            train_ds = RawShardDataset(cfg.data.train_dir, preload=cfg.data.raw_preload)
             train = RawShardLoader(
                 train_ds, local_bs, cfg.data.train_crop_size,
                 training=True, seed=cfg.train.seed,
             )
             val = None
             if cfg.data.val_dir:
-                val_ds = RawShardDataset(cfg.data.val_dir)
+                val_ds = RawShardDataset(cfg.data.val_dir, preload=cfg.data.raw_preload)
                 val = RawShardLoader(
                     val_ds, local_bs, min(cfg.data.val_crop_size, val_ds.h),
                     training=False,
