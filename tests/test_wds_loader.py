@@ -122,3 +122,45 @@ def test_parallel_streams_fail_fast_on_reader_error(shards, tmp_path):
     while threading.active_count() > n_before and time.time() < deadline:
         time.sleep(0.05)
     assert threading.active_count() <= n_before  # readers cancelled, no leak
+
+
+def test_native_crop_mode_batches(shards):
+    """native_crop_size streams undecoded bytes out of the tars and decodes
+    the batch in the C++ pool — same batch contract (uint8 NHWC + int32)."""
+    from vision_toolbox_tpu.data.native import native_available
+
+    if not native_available():
+        pytest.skip("native lib not built")
+    loader = WebDatasetLoader(shards, 8, None, training=True, per_host=False,
+                              native_crop_size=16)
+    batches = list(loader)
+    assert len(batches) == 2
+    for images, labels in batches:
+        assert images.shape == (8, 16, 16, 3) and images.dtype == np.uint8
+        assert labels.shape == (8,) and labels.dtype == np.int32
+        assert set(labels.tolist()) <= {0, 1, 2}
+    # epoch contract: all samples seen once across the two full batches + drop
+    # (20 samples, batch 8 -> 2 batches, 4 dropped)
+
+
+def test_native_crop_mode_parallel_streams(shards):
+    from vision_toolbox_tpu.data.native import native_available
+
+    if not native_available():
+        pytest.skip("native lib not built")
+    loader = WebDatasetLoader(shards, 8, None, training=True, per_host=False,
+                              native_crop_size=16, num_streams=2)
+    batches = list(loader)
+    assert len(batches) == 2
+    for images, labels in batches:
+        assert images.shape == (8, 16, 16, 3) and images.dtype == np.uint8
+
+
+def test_native_crop_mode_rejects_val(shards):
+    from vision_toolbox_tpu.data.native import native_available
+
+    if not native_available():
+        pytest.skip("native lib not built")
+    with pytest.raises(ValueError):
+        WebDatasetLoader(shards, 8, None, training=False, per_host=False,
+                         native_crop_size=16)
