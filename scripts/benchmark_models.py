@@ -32,7 +32,12 @@ MODELS = [
     ("convnext_t", {}, 224, 128, 256),
     ("swin_t", {"img_size": 224}, 224, 128, 256),
     ("vit_b_16", {"img_size": 224}, 224, 128, 256),
-    ("vit_l_16", {"img_size": 224}, 224, 64, 128),
+    # bs32 train: bs64's fp32 params+momentum + XLA-path saves OOM HBM
+    # (round-4 sweep poisoned every later row; STATUS.md)
+    ("vit_l_16", {"img_size": 224}, 224, 32, 128),
+    # first ViT-H numbers (round-4 verdict item 5): hidden-split MLP chain
+    # dispatches; attention has no in-budget aligned plan and runs on XLA
+    ("vit_h_14", {"img_size": 224}, 224, 8, 32),
     ("deit3_s_16", {"img_size": 224}, 224, 128, 256),
     ("cait_xxs_24", {"img_size": 224}, 224, 128, 256),
     ("efficientnet_b0", {}, 224, 256, 256),

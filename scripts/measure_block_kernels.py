@@ -45,6 +45,11 @@ MODELS = {
     "mixer_b_16": ({"img_size": 224}, 224, 128),
     "convnext_t": ({}, 224, 128),
     "cait_xxs_24": ({"img_size": 224}, 224, 128),
+    # ViT-H: MLP hidden-split chain dispatches (4 slices); attention has no
+    # in-budget 128-lane plan at the default 12 MiB program budget (ns=2
+    # estimates 12.9 MiB) — pass --attn-budget-mib 14 to test whether the
+    # slightly-over ns=2 plan compiles under Mosaic's 20 MiB and wins.
+    "vit_h_14": ({"img_size": 224}, 224, 8),
 }
 
 
@@ -116,7 +121,12 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--models", default="vit_b_16,deit3_s_16")
     p.add_argument("--steps", type=int, default=10)
+    p.add_argument("--attn-budget-mib", type=float, default=None,
+                   help="override ops/block_attention._PROGRAM_BUDGET (MiB) "
+                        "for the ViT-H ns=2 beyond-budget experiment")
     args = p.parse_args()
+    if args.attn_budget_mib is not None:
+        ba._PROGRAM_BUDGET = int(args.attn_budget_mib * 1024 * 1024)
     # admit the hidden-split MLP chain and the head-split attention chain so
     # the on-arms dispatch for ViT-L/H (no effect on single-call models; the
     # _DISABLE toggles drive the A/B)

@@ -46,7 +46,8 @@ MODELS = [
     ("convnext_t", {}, 224, 128),
     ("swin_t", {"img_size": 224}, 224, 128),
     ("vit_b_16", {"img_size": 224}, 224, 128),
-    ("vit_l_16", {"img_size": 224}, 224, 64),
+    ("vit_l_16", {"img_size": 224}, 224, 32),
+    ("vit_h_14", {"img_size": 224}, 224, 8),
     ("deit3_s_16", {"img_size": 224}, 224, 128),
     ("efficientnet_b0", {}, 224, 256),
 ]
