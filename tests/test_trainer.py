@@ -57,6 +57,27 @@ def test_fit_and_checkpoint(tmp_path):
     np.testing.assert_array_equal(a, b)
 
 
+def test_resume_continues_epoch_count(tmp_path):
+    """Resuming a k-epoch checkpoint into an N-epoch horizon runs only the
+    remaining N-k epochs (the fit loop must not restart at epoch 0 — that
+    doubled the horizon and trained the tail at eta_min)."""
+    cfg = _smoke_cfg(tmp_path)
+    trainer = Trainer(cfg)
+    trainer.fit()  # 1 epoch = 10 steps
+    ckpt = os.path.join(cfg.runtime.out_dir, "checkpoints", "step_10")
+
+    cfg2 = _smoke_cfg(tmp_path)
+    cfg2.train.epochs = 3
+    cfg2.runtime.out_dir = str(tmp_path / "run2")
+    cfg2.runtime.resume = ckpt
+    trainer2 = Trainer(cfg2)
+    state = trainer2.fit()
+    assert int(state.step) == 30  # 2 more epochs, not 3
+    lines = [json.loads(l) for l in open(os.path.join(cfg2.runtime.out_dir, "metrics.jsonl"))]
+    epochs = sorted({l["epoch"] for l in lines if "epoch_time_s" in l})
+    assert epochs == [1, 2]
+
+
 def test_drop_overrides_reach_backbone(tmp_path):
     """model.drop_out/drop_path must actually land on the backbone module
     (regression: linen modules have .clone(), not .replace() — the override

@@ -184,6 +184,13 @@ class Trainer:
                 },
             )
             print(f"resumed from {cfg.runtime.resume} at step {int(self.state.step)}")
+            # restore places arrays on one device; commit them to the mesh
+            # (replicated) or the first sharded train step sees conflicting
+            # placements vs the batch. tp/fsdp/pp re-place below anyway.
+            if cfg.runtime.param_sharding == "replicated" and self.pp_stages == 1:
+                from ..parallel.mesh import replicated as _rep
+
+                self.state = jax.device_put(self.state, _rep(self.mesh))
 
         # TP / FSDP parameter placement (beyond the reference's DP-only story):
         # commit shardings with device_put AFTER any resume so restored params
@@ -432,7 +439,16 @@ class Trainer:
 
     def _fit_loop(self, cfg, rng, prefetch_to_device):
         profiled = False
-        for epoch in range(cfg.train.epochs):
+        # Resume continues the epoch count from the restored optimizer step
+        # instead of re-running the whole horizon (the reference gets this
+        # from Lightning's `fit(ckpt_path=...)`). A mid-epoch preemption
+        # checkpoint restarts its epoch from the top — the schedule is a pure
+        # function of state.step and clips at the horizon, so the few extra
+        # micro-steps at the end train at eta_min.
+        start_epoch = min(
+            int(self.state.step) // max(1, self.steps_per_epoch), cfg.train.epochs
+        )
+        for epoch in range(start_epoch, cfg.train.epochs):
             t0 = time.time()
             n_images = 0
             for images, labels in prefetch_to_device(iter(self.train_loader), self.mesh):
