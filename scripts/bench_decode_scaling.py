@@ -107,6 +107,41 @@ def bench_wds(jpegs, crop: int, num_streams: int, secs: float, tmp: Path,
     return done / (time.perf_counter() - t0)
 
 
+def bench_raw(crop: int, secs: float, tmp: Path, store: int = 200,
+              n_images: int = 12000, batch_size: int = 256) -> float:
+    """Escape-hatch path: pre-decoded raw-crop shards (data/raw_shards.py) —
+    loader-only feed rate on this host (memmap copy + crop + flip)."""
+    from vision_toolbox_tpu.data.raw_shards import (
+        RawShardDataset,
+        RawShardLoader,
+        write_shard,
+    )
+
+    raw_dir = tmp / "raw"
+    if not (raw_dir / "done").exists():
+        raw_dir.mkdir(parents=True, exist_ok=True)
+        rng = np.random.default_rng(0)
+        per = 4000
+        for s in range(-(-n_images // per)):
+            n = min(per, n_images - s * per)
+            write_shard(str(raw_dir / f"shard_{s:04d}.vtraw"),
+                        rng.integers(0, 256, (n, store, store, 3), np.uint8),
+                        rng.integers(0, 100, n))
+        (raw_dir / "done").touch()
+    loader = RawShardLoader(RawShardDataset(str(raw_dir), preload=True),
+                            batch_size, crop, training=True,
+                            process_index=0, process_count=1)
+    for _ in loader:  # first pass pays first-touch page costs
+        pass
+    done, t0 = 0, time.perf_counter()
+    while time.perf_counter() - t0 < secs:
+        for images, labels in loader:
+            done += images.shape[0]
+            if time.perf_counter() - t0 >= secs:
+                break
+    return done / (time.perf_counter() - t0)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--threads", default="1,2,4,8")
@@ -116,6 +151,8 @@ def main():
     ap.add_argument("--chip-rate", type=float, default=3974.0,
                     help="img/s one chip consumes (BENCH_r03 full-recipe rate)")
     ap.add_argument("--wds", action="store_true", help="also sweep the WDS path")
+    ap.add_argument("--raw", action="store_true",
+                    help="also measure the raw-crop shard loader feed rate")
     ap.add_argument("--out", default="artifacts/decode_scaling.json")
     args = ap.parse_args()
 
@@ -154,12 +191,20 @@ def main():
             wds_rows.append({"num_streams": ns, "img_per_s": round(rate, 1)})
             print(f"  wds {ns} stream(s): {rate:7.0f} img/s", flush=True)
 
+    raw_row = None
+    if args.raw:
+        rate = bench_raw(args.crop, args.secs, Path("/tmp/vtt_decode_bench"))
+        raw_row = {"img_per_s": round(rate, 1),
+                   "duty_vs_chip": round(rate / args.chip_rate, 3)}
+        print(f"  raw shards (1 core): {rate:7.0f} img/s  "
+              f"duty {raw_row['duty_vs_chip'] * 100:5.1f}% of one chip", flush=True)
+
     out = Path(args.out)
     out.parent.mkdir(parents=True, exist_ok=True)
     out.write_text(json.dumps({
         "host_cores": ncores, "crop": args.crop, "chip_rate": args.chip_rate,
         "per_thread_img_s": per_thread, "threads_to_feed_chip": round(need, 1),
-        "decode": rows, "wds": wds_rows,
+        "decode": rows, "wds": wds_rows, "raw": raw_row,
     }, indent=1))
     print(f"wrote {out}")
 

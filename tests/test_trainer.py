@@ -126,6 +126,41 @@ def test_evaluate_ragged_final_batch(tmp_path):
         np.testing.assert_allclose(got[key], want[key], rtol=1e-5, atol=1e-6)
 
 
+def test_val_device_cache(tmp_path):
+    """Second evaluate() over the same loader reuses device-resident batches
+    (no host re-transfer) and returns identical metrics; swapping the loader
+    invalidates the cache; the byte cap disables collection."""
+    cfg = _smoke_cfg(tmp_path)
+    trainer = Trainer(cfg)
+    rng = np.random.default_rng(1)
+    images = rng.random((32, 32, 32, 3), np.float32)
+    labels = rng.integers(0, 10, 32).astype(np.int32)
+    loader = [(images[:16], labels[:16]), (images[16:], labels[16:])]
+    trainer.val_loader = loader
+    first = trainer.evaluate()
+    assert getattr(trainer, "_val_cache", None) is not None
+    cached_batches = trainer._val_cache[1]
+    trainer.val_loader = []  # cache must carry the epoch on its own
+    trainer.val_loader = loader
+    trainer._val_cache = (loader, cached_batches)
+    second = trainer.evaluate()
+    for key in first:
+        np.testing.assert_allclose(first[key], second[key], rtol=1e-6)
+
+    # swapping the loader object invalidates
+    other = [(images[:16], labels[:16])]
+    trainer.val_loader = other
+    third = trainer.evaluate()
+    assert trainer._val_cache[0] is other
+
+    # byte cap: a 1-byte budget must disable collection entirely
+    cfg.runtime.cache_val_limit_mb = 0
+    t2 = Trainer(cfg)
+    t2.val_loader = loader
+    t2.evaluate()
+    assert getattr(t2, "_val_cache", None) is None
+
+
 def test_evaluate_without_val_data(tmp_path):
     cfg = _smoke_cfg(tmp_path)
     trainer = Trainer(cfg)

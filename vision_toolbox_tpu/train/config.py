@@ -95,6 +95,12 @@ class RuntimeConfig:
     param_sharding: str = "replicated"
     sharding_min_size: int = 65536  # params smaller than this stay replicated
     profile_steps: int = 0  # capture a jax.profiler trace of N train steps
+    # keep the (padded, sharded) val batches device-resident after the first
+    # val epoch, skipping the per-epoch host->device re-transfer. Worth it
+    # whenever the val set is small vs HBM (e.g. 3k images @224 = 451 MB);
+    # the limit caps the cached bytes — larger val sets stream as before.
+    cache_val_on_device: bool = True
+    cache_val_limit_mb: int = 2048
     tracker: str = "none"  # none | tensorboard | wandb (train/tracking.py)
     # pipeline parallelism (parallel/pipeline.py): enabled when mesh_shape
     # has a "pipe" axis > 1 (e.g. {"data": 2, "pipe": 4}); requires a

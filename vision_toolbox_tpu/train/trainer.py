@@ -510,6 +510,36 @@ class Trainer:
         # whole val epoch runs with zero host syncs, ONE readback at the end
         # (each float() costs a ~24 ms tunnel roundtrip — see CLAUDE.md)
         acc = jnp.zeros((4,), jnp.float32)
+        for images, labels in self._val_batches():
+            acc = self.eval_step(self.state, images, labels, acc)
+        loss_sum, acc_sum, acc5_sum, total = np.asarray(acc, np.float64)
+        if total == 0:
+            return {}
+        return {
+            "val/loss": loss_sum / total,
+            "val/acc": acc_sum / total,
+            "val/acc5": acc5_sum / total,
+        }
+
+    def _val_batches(self):
+        """Yield (padded, sharded) val batches; device-cache them when small.
+
+        The val set is deterministic (center crop, fixed order), so after the
+        first val epoch the padded sharded device arrays can be reused as-is
+        — the per-epoch host->device re-transfer is pure waste (through the
+        dev-tunnel's ~31 MB/s link a 3k-image @224 val set costs ~15 s/epoch;
+        on a real PCIe host it still costs a full copy). Capped by
+        runtime.cache_val_limit_mb so ImageNet-scale val sets stream.
+        """
+        cached = getattr(self, "_val_cache", None)
+        if cached is not None and cached[0] is self.val_loader:
+            yield from cached[1]
+            return
+        cfg = self.cfg.runtime
+        collect = cfg.cache_val_on_device
+        budget = cfg.cache_val_limit_mb * 1e6
+        batches = []
+        nominal = self._local_batch
         for images, labels in self.val_loader:
             b = images.shape[0]
             if b != nominal:
@@ -522,15 +552,15 @@ class Trainer:
                     [np.asarray(labels, np.int32), np.full((nominal - b,), -1, np.int32)]
                 )
             images, labels = shard_batch((images, labels), self.mesh)
-            acc = self.eval_step(self.state, images, labels, acc)
-        loss_sum, acc_sum, acc5_sum, total = np.asarray(acc, np.float64)
-        if total == 0:
-            return {}
-        return {
-            "val/loss": loss_sum / total,
-            "val/acc": acc_sum / total,
-            "val/acc5": acc5_sum / total,
-        }
+            if collect:
+                batches.append((images, labels))
+                if sum(im.nbytes for im, _ in batches) > budget:
+                    collect, batches = False, []
+            yield images, labels
+        if collect and batches:
+            # keyed to the loader object: swapping val_loader (or rebuilding
+            # it at a new batch size) invalidates the cache
+            self._val_cache = (self.val_loader, batches)
 
     def save(self, epoch: int, val_acc: float | None = None):
         from ..utils.checkpoint import save_train_state
