@@ -212,6 +212,39 @@ class RawShardLoader:
             yield out, labels
 
 
+class DeviceIndexLoader:
+    """Index batches for the device-resident mode (data.device_resident).
+
+    The images never cross the host→device link after the one-time store
+    upload; per step this loader yields only a shuffled ``(B,) int32`` index
+    vector plus the matching labels (labels ride along so the trainer's
+    loader contract — (array, labels) tuples with ``len`` — is unchanged; the
+    device step re-gathers labels from the device store itself).
+    """
+
+    def __init__(self, n: int, labels: np.ndarray, batch_size: int,
+                 seed: int = 0, drop_last: bool = True):
+        self.n = n
+        self.labels = np.asarray(labels, np.int32)
+        self.batch_size = batch_size
+        self.seed = seed
+        self.drop_last = drop_last
+        self.epoch = 0
+
+    def __len__(self) -> int:
+        return self.n // self.batch_size if self.drop_last else -(-self.n // self.batch_size)
+
+    def __iter__(self):
+        rng = np.random.default_rng([self.seed, self.epoch])
+        self.epoch += 1
+        order = rng.permutation(self.n).astype(np.int32)
+        for start in range(0, self.n, self.batch_size):
+            idx = order[start : start + self.batch_size]
+            if self.drop_last and len(idx) < self.batch_size:
+                break
+            yield idx, self.labels[idx]
+
+
 def _crop_flip_native() -> bool:
     try:
         from .native import native_available

@@ -47,6 +47,11 @@ class DataConfig:
     # train_dir/val_dir point at .vtraw shard dirs; host "decode" is a memmap
     # copy + random-window crop — the few-core-host escape hatch.
     raw_shards: bool = False
+    # with raw_shards: place the whole decoded train set in HBM once and run
+    # RandomResizedCrop+flip on device (ops/device_rrc.py); per-step H2D
+    # traffic drops to a (B,) index vector. Requires the store to fit in HBM
+    # next to the model (uint8: N*S*S*3 bytes). Single-process only.
+    device_resident: bool = False
     # read whole shards into RAM at startup (one sequential pass) instead of
     # paying cold random memmap faults in epoch 0; use when corpus < RAM.
     raw_preload: bool = True

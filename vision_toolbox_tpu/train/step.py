@@ -113,6 +113,56 @@ def make_train_step(
     return train_step
 
 
+def make_device_data_train_step(
+    num_classes: int,
+    crop_size: int,
+    rrc_scale: tuple[float, float] = (0.08, 1.0),
+    rrc_ratio: tuple[float, float] = (3.0 / 4.0, 4.0 / 3.0),
+    hflip_p: float = 0.5,
+    **train_step_kwargs,
+):
+    """Train step over a device-resident dataset (images decoded once into
+    HBM). Per step the host ships only a (B,) index vector; the batch gather,
+    RandomResizedCrop(crop_size) + flip (ops/device_rrc.py — resampling as
+    batched MXU matmuls), and the full augmentation pipeline all run inside
+    the one jitted program. Replaces the reference's DataLoader-worker
+    transform path (/root/reference/data.py:44-52) when the training set fits
+    in HBM; removes the per-step host→device image copy entirely.
+
+    Signature: ``step(state, store_images (N,S,S,C) u8, store_labels (N,) i32,
+    idx (B,) i32, rng)``.
+    """
+    from ..ops.device_rrc import random_resized_crop_flip
+
+    inner = make_train_step(num_classes, **train_step_kwargs)
+
+    def step(state: TrainState, store_images, store_labels, idx, rng):
+        images = jnp.take(store_images, idx, axis=0)
+        labels = jnp.take(store_labels, idx, axis=0)
+        # fold the step count so each epoch's crops differ; keep `rng` itself
+        # untouched for `inner`, which does its own fold_in(rng, step)
+        rng_rrc = jax.random.fold_in(jax.random.fold_in(rng, 0x5EED), state.step)
+        images = images.astype(jnp.float32) / 255.0
+        images = random_resized_crop_flip(
+            rng_rrc, images, crop_size, rrc_scale, rrc_ratio, hflip_p
+        )
+        return inner(state, images, labels, rng)
+
+    return step
+
+
+def shard_device_data_train_step(train_step, mesh: Mesh, data_axis: str = "data"):
+    """jit the device-resident train step: store replicated (it lives on
+    device; per-host stores are future work), index batch sharded."""
+    repl = NamedSharding(mesh, P())
+    batch_sh = NamedSharding(mesh, P(data_axis))
+    return jax.jit(
+        train_step,
+        in_shardings=(None, repl, repl, batch_sh, repl),
+        donate_argnums=(0,),
+    )
+
+
 def make_eval_step(compute_dtype: Any = jnp.float32):
     """Mask-aware eval step: rows with ``label < 0`` are padding (used to fill
     ragged final val batches up to the jitted batch shape) and are excluded

@@ -84,6 +84,7 @@ class Trainer:
             dtype=compute_dtype,
         )
 
+        self._device_store = None
         self.train_loader, self.val_loader, self.steps_per_epoch = self._build_data()
         self.steps_per_epoch *= max(1, cfg.data.echo)  # echoes are real optimizer steps
 
@@ -134,18 +135,28 @@ class Trainer:
             apply_fn = self.model.apply
         self.state = TrainState.create(apply_fn, variables, tx)
 
-        self.train_step = shard_train_step(
-            make_train_step(
-                cfg.model.num_classes,
-                label_smoothing=cfg.train.label_smoothing,
-                mixup_alpha=cfg.train.mixup_alpha,
-                cutmix_alpha=cfg.train.cutmix_alpha,
-                trivial_augment=cfg.data.trivial_augment,
-                random_erasing_p=cfg.data.random_erasing_p,
-                compute_dtype=compute_dtype,
-            ),
-            self.mesh,
+        step_kwargs = dict(
+            label_smoothing=cfg.train.label_smoothing,
+            mixup_alpha=cfg.train.mixup_alpha,
+            cutmix_alpha=cfg.train.cutmix_alpha,
+            trivial_augment=cfg.data.trivial_augment,
+            random_erasing_p=cfg.data.random_erasing_p,
+            compute_dtype=compute_dtype,
         )
+        if self._device_store is not None:
+            from .step import make_device_data_train_step, shard_device_data_train_step
+
+            self.train_step = shard_device_data_train_step(
+                make_device_data_train_step(
+                    cfg.model.num_classes, cfg.data.train_crop_size, **step_kwargs
+                ),
+                self.mesh,
+            )
+        else:
+            self.train_step = shard_train_step(
+                make_train_step(cfg.model.num_classes, **step_kwargs),
+                self.mesh,
+            )
         from ..parallel.mesh import replicated
 
         self.eval_step = jax.jit(
@@ -305,14 +316,47 @@ class Trainer:
 
         from ..data import DataLoader, ImageFolder, train_transform, val_transform
 
+        if cfg.data.device_resident and not cfg.data.raw_shards:
+            raise ValueError(
+                "data.device_resident requires data.raw_shards=true "
+                "(pre-decode with scripts/make_raw_shards.py)"
+            )
         if cfg.data.raw_shards:
-            from ..data.raw_shards import RawShardDataset, RawShardLoader
+            from ..data.raw_shards import (
+                DeviceIndexLoader,
+                RawShardDataset,
+                RawShardLoader,
+            )
 
             train_ds = RawShardDataset(cfg.data.train_dir, preload=cfg.data.raw_preload)
-            train = RawShardLoader(
-                train_ds, local_bs, cfg.data.train_crop_size,
-                training=True, seed=cfg.train.seed,
-            )
+            if cfg.data.device_resident:
+                if jax.process_count() > 1:
+                    raise NotImplementedError(
+                        "data.device_resident is single-process (per-host "
+                        "stores are future work)"
+                    )
+                from ..parallel.mesh import replicated
+
+                images = np.concatenate(
+                    [np.asarray(s.images) for s in train_ds.shards]
+                )
+                labels = train_ds._labels_flat
+                print(
+                    f"device-resident store: {images.nbytes / 1e9:.2f} GB "
+                    f"({len(images)} images @ {train_ds.h}px) -> HBM, one-time"
+                )
+                self._device_store = (
+                    jax.device_put(images, replicated(self.mesh)),
+                    jax.device_put(labels.astype(np.int32), replicated(self.mesh)),
+                )
+                train = DeviceIndexLoader(
+                    len(images), labels, local_bs, seed=cfg.train.seed
+                )
+            else:
+                train = RawShardLoader(
+                    train_ds, local_bs, cfg.data.train_crop_size,
+                    training=True, seed=cfg.train.seed,
+                )
             val = None
             if cfg.data.val_dir:
                 val_ds = RawShardDataset(cfg.data.val_dir, preload=cfg.data.raw_preload)
@@ -470,7 +514,14 @@ class Trainer:
                 for _ in range(max(1, cfg.data.echo)):
                     # each echo folds a new step count into the RNG, so the
                     # device-side augmentation differs per echo
-                    self.state, metrics = self.train_step(self.state, images, labels, rng)
+                    if self._device_store is not None:
+                        # `images` is the (B,) index vector here — the pixel
+                        # batch is gathered from the HBM-resident store
+                        self.state, metrics = self.train_step(
+                            self.state, *self._device_store, images, rng
+                        )
+                    else:
+                        self.state, metrics = self.train_step(self.state, images, labels, rng)
                 n_images += images.shape[0]
                 step = int(self.state.step)
                 if self._preempted:
