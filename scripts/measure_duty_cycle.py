@@ -157,6 +157,25 @@ def main():
     results["synth_img_s"] = round(synth, 1)
     print(f"synth: {synth:,.0f} img/s (no input cost)")
 
+    # the H2D link itself: ceiling any host-fed loader shares (through the
+    # dev tunnel this is the binding term; a PCIe host moves it to ~GB/s)
+    import jax
+    import jax.numpy as jnp
+
+    batch_np = np.zeros((args.batch, args.crop, args.crop, 3), np.uint8)
+    d = jax.device_put(batch_np)
+    float(jnp.sum(d[0, 0, 0].astype(jnp.float32)))
+    t0 = time.perf_counter()
+    for _ in range(8):
+        d = jax.device_put(batch_np)
+        float(jnp.sum(d[0, 0, 0].astype(jnp.float32)))
+    dt = (time.perf_counter() - t0) / 8
+    h2d_rate = args.batch / dt
+    results["h2d_mb_s"] = round(batch_np.nbytes / dt / 1e6, 1)
+    results["h2d_img_s"] = round(h2d_rate, 1)
+    print(f"h2d link: {results['h2d_mb_s']} MB/s = {h2d_rate:,.0f} img/s ceiling "
+          f"for any host-fed loader at this batch geometry")
+
     ds_raw = RawShardDataset(str(raw_dir), preload=True)
     raw_loader = RawShardLoader(ds_raw, args.batch, args.crop, training=True)
     # spin one epoch first: epoch-0 batches pay first-touch page costs on the
@@ -167,6 +186,48 @@ def main():
     results["raw_img_s"] = round(raw, 1)
     results["raw_duty"] = round(raw / synth, 3)
     print(f"raw shards: {raw:,.0f} img/s  duty {raw / synth:.1%}")
+
+    # device-resident mode: store in HBM, per-step H2D = a (B,) index vector
+    from vision_toolbox_tpu.data.raw_shards import DeviceIndexLoader
+    from vision_toolbox_tpu.train.step import (
+        make_device_data_train_step,
+        shard_device_data_train_step,
+    )
+    from vision_toolbox_tpu.parallel.mesh import create_mesh
+
+    mesh = create_mesh(("data",))
+    store_imgs = np.concatenate([np.asarray(s.images) for s in ds_raw.shards])
+    store_labels = ds_raw._labels_flat.astype(np.int32)
+    d_imgs = jax.device_put(store_imgs)
+    d_labels = jax.device_put(store_labels)
+    dev_step = shard_device_data_train_step(
+        make_device_data_train_step(10, args.crop), mesh
+    )
+    idx_loader = DeviceIndexLoader(len(store_imgs), store_labels, args.batch)
+    state2, _ = make_step(args.batch, args.crop, 10)[0], None
+    rng = jax.random.PRNGKey(0)
+    it = iter(idx_loader)
+
+    def next_idx():
+        nonlocal it
+        try:
+            return next(it)[0]
+        except StopIteration:
+            it = iter(idx_loader)
+            return next(it)[0]
+
+    for _ in range(3):
+        state2, m = dev_step(state2, d_imgs, d_labels, jnp.asarray(next_idx()), rng)
+    float(m["loss"])
+    t0 = time.perf_counter()
+    for _ in range(args.steps):
+        state2, m = dev_step(state2, d_imgs, d_labels, jnp.asarray(next_idx()), rng)
+    float(m["loss"])
+    dev = args.steps * args.batch / (time.perf_counter() - t0)
+    results["device_resident_img_s"] = round(dev, 1)
+    results["device_resident_duty"] = round(dev / synth, 3)
+    print(f"device-resident: {dev:,.0f} img/s  duty {dev / synth:.1%} "
+          f"(store {store_imgs.nbytes / 1e9:.2f} GB in HBM, on-device RRC)")
 
     if native_available():
         folder = ImageFolder(str(corpus))

@@ -33,6 +33,14 @@ timeout 3000 python scripts/measure_block_kernels.py --models vit_h_14 \
 # 5. aug overhead attribution (verdict item 8)
 timeout 2400 python scripts/measure_aug_ablation.py
 
+# 5b. input story (verdict item 2): overlapped duty cycle — synth / raw /
+#     native-jpeg / device-resident legs + the H2D link rate that binds the
+#     host-fed loaders in this environment
+timeout 1800 python scripts/measure_duty_cycle.py --steps 40 --batch 256
+#     clean decode-scaling re-run (the committed artifact was taken while the
+#     suite was hogging the 1-core host)
+timeout 900 python scripts/bench_decode_scaling.py --threads 1,2 --secs 4 --wds --raw
+
 # 6. end-of-round refresh: full sweep + headline bench
 timeout 7200 python scripts/benchmark_models.py --out artifacts/bench_models_r5.md
 timeout 1200 python bench.py
