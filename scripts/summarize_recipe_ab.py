@@ -40,8 +40,14 @@ def arm_stats(eps):
 
 
 def main():
-    full_p = Path("artifacts/synth_hard_100_full_metrics.jsonl")
-    small_p = Path("artifacts/synth_hard_100_small_metrics.jsonl")
+    import argparse
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--full", default="artifacts/synth_hard_100_full_metrics.jsonl")
+    ap.add_argument("--small", default="artifacts/synth_hard_100_small_metrics.jsonl")
+    ap.add_argument("--out", default="artifacts/recipe_ab_100.json")
+    args = ap.parse_args()
+    full_p = Path(args.full)
+    small_p = Path(args.small)
     for p in (full_p, small_p):
         if not p.exists():
             sys.exit(f"{p} missing — run scripts/run_recipe_ab.sh first")
@@ -63,8 +69,8 @@ def main():
               f"{s['tail10_mean_val_acc']:9.4f}")
     print(f"delta (full - small): best {delta_best:+.4f}, tail10 {delta_tail:+.4f}")
     print(out["conclusion"])
-    Path("artifacts/recipe_ab_100.json").write_text(json.dumps(out, indent=1))
-    print("wrote artifacts/recipe_ab_100.json")
+    Path(args.out).write_text(json.dumps(out, indent=1))
+    print(f"wrote {args.out}")
 
 
 if __name__ == "__main__":
